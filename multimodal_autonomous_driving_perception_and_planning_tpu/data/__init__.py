@@ -1,0 +1,13 @@
+from .synthetic import (
+    simulated_detection_stream,
+    ego_motion_stream,
+    simulated_vehicle_motion_stream,
+    device_detection_stream,
+)
+
+__all__ = [
+    "simulated_detection_stream",
+    "ego_motion_stream",
+    "simulated_vehicle_motion_stream",
+    "device_detection_stream",
+]

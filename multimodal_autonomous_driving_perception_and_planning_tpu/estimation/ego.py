@@ -1,0 +1,106 @@
+"""Ego vehicle state estimation as a pure scan step.
+
+TPU-native rebuild of src/state_estimation/vehicle_state.py:33-257.
+
+Subtle but load-bearing parity detail: the reference's ``step()`` calls
+``predict()`` then ``update()``, and *both* internally call
+``_extract_state`` which mutates ``prev_heading``/``prev_speed``
+(:108-117, :119-137, :158-198).  The acceleration and yaw rate reported for
+a frame are therefore finite differences against the *post-predict* values
+of the same frame, not against the previous frame's output.  We replicate
+that exactly: extract once after predict (discarding the state but keeping
+the prev_* side effects), then extract again after update.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import EstimatorConfig
+from ..ops.kalman import KalmanModel, kalman_predict, kalman_update
+from ..types import KalmanState, VehicleState
+
+
+def extract_state(
+    x: jnp.ndarray,
+    P: jnp.ndarray,
+    time: jnp.ndarray,
+    prev_heading: jnp.ndarray,
+    prev_speed: jnp.ndarray,
+    dt: float,
+    speed_heading_hold: float = 0.1,
+) -> Tuple[VehicleState, jnp.ndarray, jnp.ndarray]:
+    """Derive (speed, heading, accel, yaw rate, uncertainties) from (x, P).
+
+    Mirrors vehicle_state.py:158-198.  Returns the state plus the updated
+    (prev_heading, prev_speed) memory.
+    """
+    px, py, vx, vy = x[0], x[1], x[2], x[3]
+    speed = jnp.sqrt(vx * vx + vy * vy)
+    heading = jnp.where(
+        speed > speed_heading_hold, jnp.arctan2(vy, vx), prev_heading
+    )
+    acceleration = (speed - prev_speed) / dt if dt > 0 else jnp.zeros_like(speed)
+
+    heading_diff = heading - prev_heading
+    heading_diff = jnp.where(
+        heading_diff > jnp.pi, heading_diff - 2 * jnp.pi, heading_diff
+    )
+    heading_diff = jnp.where(
+        heading_diff < -jnp.pi, heading_diff + 2 * jnp.pi, heading_diff
+    )
+    yaw_rate = heading_diff / dt if dt > 0 else jnp.zeros_like(heading_diff)
+
+    pos_unc = jnp.sqrt(P[0, 0] + P[1, 1])
+    vel_unc = jnp.sqrt(P[2, 2] + P[3, 3])
+
+    state = VehicleState(
+        x=px,
+        y=py,
+        vx=vx,
+        vy=vy,
+        heading=heading,
+        speed=speed,
+        acceleration=acceleration,
+        yaw_rate=yaw_rate,
+        timestamp=time,
+        pos_uncertainty=pos_unc,
+        vel_uncertainty=vel_unc,
+    )
+    return state, heading, speed
+
+
+def estimator_step(
+    ks: KalmanState,
+    model: KalmanModel,
+    measurement: jnp.ndarray,
+    has_measurement,
+    cfg: EstimatorConfig,
+) -> Tuple[KalmanState, VehicleState]:
+    """predict + optional update, replicating vehicle_state.py:139-156.
+
+    Args:
+      measurement: (4,) [x, y, vx, vy]; ignored when ``has_measurement`` is
+        False (the reference's measurement-skip branch).
+    """
+    # predict() — advances time, extracts state for its prev_* side effects.
+    x, P = kalman_predict(model, ks.x, ks.P)
+    time = ks.time + cfg.dt
+    _, prev_heading, prev_speed = extract_state(
+        x, P, time, ks.prev_heading, ks.prev_speed, cfg.dt, cfg.speed_heading_hold
+    )
+
+    # update(z) — Joseph-form KF update, then the reported extraction.
+    xu, Pu = kalman_update(model, x, P, measurement)
+    x = jnp.where(has_measurement, xu, x)
+    P = jnp.where(has_measurement, Pu, P)
+
+    state, prev_heading, prev_speed = extract_state(
+        x, P, time, prev_heading, prev_speed, cfg.dt, cfg.speed_heading_hold
+    )
+    new_ks = KalmanState(
+        x=x, P=P, time=time, prev_heading=prev_heading, prev_speed=prev_speed
+    )
+    return new_ks, state

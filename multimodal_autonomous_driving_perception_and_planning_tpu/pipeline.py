@@ -1,0 +1,192 @@
+"""The fused per-frame pipeline and its scan runner.
+
+The reference orchestrates detect -> lane -> track -> estimate -> plan as a
+Python loop over per-frame method calls (demo.py:97-177).  Here the whole
+per-frame dataflow is one pure function ``(state, inputs) -> (state', out)``,
+jitted once; a video is ``jax.lax.scan(step, init, inputs)`` so an entire
+sequence runs as a single device program with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import PipelineConfig
+from .estimation.ego import estimator_step
+from .ops.kalman import make_constant_accel_model
+from .planning.planner import plan
+from .tracking.tracker import confirmed_order, tracker_update
+from .types import Detections, KalmanState, LaneState, PipelineState, TaggingState, TrackTable
+
+
+def initial_state(cfg: PipelineConfig) -> PipelineState:
+    return PipelineState(
+        tracks=TrackTable.empty(cfg.tracker.max_tracks, cfg.tracker.trajectory_length),
+        kalman=KalmanState.initial(cfg.estimator.initial_covariance),
+        lanes=LaneState.initial(),
+        tagging=TaggingState.initial(
+            cfg.tagging.scene_smoothing_window,
+            cfg.tagging.maneuver_history,
+            cfg.tracker.max_tracks,
+        ),
+        frame_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+def detections_from_arrays(arrs: Dict[str, Any]) -> Detections:
+    return Detections(
+        bbox=jnp.asarray(arrs["bbox"], jnp.float32),
+        class_id=jnp.asarray(arrs["class_id"], jnp.int32),
+        confidence=jnp.asarray(arrs["confidence"], jnp.float32),
+        valid=jnp.asarray(arrs["valid"], bool),
+    )
+
+
+def make_pipeline_step(cfg: PipelineConfig):
+    """Build the per-frame step function.
+
+    Inputs per frame (all fixed-shape):
+      detections: Detections table
+      ego_measurement: (4,) [x, y, vx, vy]
+      frame: optional (H, W, 3) image (enables lane detection + scene
+        features; wired in by perception/lanes and tagging stages)
+
+    Outputs: dict of per-frame results (stacked over time under scan).
+    """
+    model = make_constant_accel_model(
+        cfg.estimator.dt,
+        cfg.estimator.process_noise,
+        cfg.estimator.measurement_noise,
+        cfg.estimator.accel_noise_scale,
+    )
+    # Imported lazily to keep the minimum slice importable while the image
+    # stages are being built out.
+    lane_step = None
+    tagging_step = None
+    if cfg.use_frames:
+        from .perception.lanes import make_lane_step
+
+        lane_step = make_lane_step(cfg)
+    if cfg.enable_tagging:
+        from .tagging.rules import make_tagging_step
+
+        tagging_step = make_tagging_step(cfg)
+
+    def step(state: PipelineState, inputs: Dict[str, Any]):
+        dets = inputs["detections"]
+
+        # L1: lanes (device kernels) — optional, needs the camera frame.
+        if lane_step is not None and "frame" in inputs:
+            lanes_state, lane_obs, frame_feats = lane_step(
+                state.lanes, inputs["frame"]
+            )
+        else:
+            lanes_state, lane_obs, frame_feats = state.lanes, None, None
+
+        # L2: tracking.
+        table, match = tracker_update(state.tracks, dets, cfg.tracker)
+        order, n_confirmed = confirmed_order(table, cfg.tracker.min_hits)
+
+        # L2: ego estimation.
+        kalman, vstate = estimator_step(
+            state.kalman,
+            model,
+            inputs["ego_measurement"].astype(jnp.float32),
+            inputs.get("has_measurement", jnp.asarray(True)),
+            cfg.estimator,
+        )
+
+        # L3: planning.
+        current = jnp.stack([vstate.x, vstate.y, vstate.heading, vstate.speed])
+        pr = plan(
+            current,
+            cfg.planner,
+            reference_positions=inputs.get("reference_positions"),
+            reference_valid=inputs.get("reference_valid"),
+            obstacles=inputs.get("obstacles"),
+            obstacles_valid=inputs.get("obstacles_valid"),
+        )
+
+        # L4: rule-based tagging (device math over pipeline outputs).
+        if tagging_step is not None:
+            tagging_state, tags = tagging_step(
+                state.tagging,
+                dets=dets,
+                table=table,
+                confirmed=order,
+                n_confirmed=n_confirmed,
+                vstate=vstate,
+                lane_obs=lane_obs,
+                frame_feats=frame_feats,
+            )
+        else:
+            tagging_state, tags = state.tagging, {}
+
+        new_state = PipelineState(
+            tracks=table,
+            kalman=kalman,
+            lanes=lanes_state,
+            tagging=tagging_state,
+            frame_idx=state.frame_idx + 1,
+        )
+        out = {
+            "track_id": table.track_id,
+            "track_bbox": table.bbox,
+            "track_class_id": table.class_id,
+            "track_confidence": table.confidence,
+            "track_hits": table.hits,
+            "track_misses": table.misses,
+            "track_age": table.age,
+            "track_velocity": table.velocity,
+            "track_vel_count": table.vel_count,
+            "confirmed_order": order,
+            "num_confirmed": n_confirmed,
+            "match": match,
+            "vehicle_state": vstate,
+            "plan_costs": pr.costs,
+            "plan_best": pr.best,
+            "plan_order": pr.order,
+            "plan_best_positions": pr.positions[pr.best],
+            "plan_best_velocities": pr.velocities[pr.best],
+            "tags": tags,
+        }
+        if lane_obs is not None:
+            out["lane_obs"] = lane_obs
+        return new_state, out
+
+    return step
+
+
+def make_sequence_runner(cfg: PipelineConfig, donate: bool = True):
+    """Build a jitted runner that scans the pipeline over a whole sequence.
+
+    ``inputs`` is a dict of time-stacked arrays: detections (T, D, ...) as
+    raw arrays, ego_measurements (T, 4), optional frames (T, H, W, 3).
+    """
+    step = make_pipeline_step(cfg)
+
+    def run(state: PipelineState, inputs: Dict[str, Any]):
+        det_tables = Detections(
+            bbox=inputs["bbox"],
+            class_id=inputs["class_id"],
+            confidence=inputs["confidence"],
+            valid=inputs["valid"],
+        )
+        scan_inputs = {
+            "detections": det_tables,
+            "ego_measurement": inputs["ego_measurement"],
+        }
+        if "frame" in inputs:
+            scan_inputs["frame"] = inputs["frame"]
+
+        def body(carry, xs):
+            return step(carry, xs)
+
+        final, outs = jax.lax.scan(body, state, scan_inputs)
+        return final, outs
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,181 @@
+"""IoU-greedy multi-object tracker over a fixed slot table.
+
+TPU-native rebuild of src/tracking/multi_object_tracker.py:166-241.  The
+reference mutates a Dict[int, Track]; here the whole lifecycle —
+associate -> matched update -> miss increment -> birth -> death -> confirm —
+is one pure function over a `TrackTable` pytree, suitable as a `lax.scan`
+carry and `vmap`-able across cameras/sequences.
+
+Parity notes (each maps to a reference behavior):
+  * Greedy matching consumes the max-IoU pair repeatedly with numpy's
+    row-major first-max tie-break (:137-159) — see ops.association.
+  * Matched tracks keep their original class_id; only bbox/confidence are
+    refreshed (:192-196).
+  * Velocity is the frame-diff of box centers computed *before* the bbox
+    overwrite (:186-189).
+  * Births consume unmatched detections in detection-index order and take
+    sequential ids (:214-225).  Slots are allocated lowest-free-first; the
+    reference iteration order (insertion order == ascending id) is recovered
+    via `id_rank` wherever ordering matters.
+  * Death strictly after the miss increment: ``misses > max_age`` (:228-233).
+  * Confirmed = ``hits >= min_hits`` (:236-241), including currently-missed
+    tracks.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrackerConfig
+from ..ops.association import greedy_associate
+from ..ops.geometry import pairwise_iou
+from ..types import Detections, TrackTable
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def id_rank(table: TrackTable) -> jnp.ndarray:
+    """Rank of each slot in the reference's iteration order.
+
+    The reference iterates ``self.tracks`` in dict-insertion order, which is
+    ascending track id because ids are assigned monotonically.  Dead slots
+    get the largest ranks.
+    """
+    key = jnp.where(table.alive, table.track_id, _I32_MAX)
+    order = jnp.argsort(key)
+    t = table.track_id.shape[0]
+    return jnp.zeros((t,), jnp.int32).at[order].set(jnp.arange(t, dtype=jnp.int32))
+
+
+def confirmed_mask(table: TrackTable, min_hits: int) -> jnp.ndarray:
+    return table.alive & (table.hits >= min_hits)
+
+
+def confirmed_order(table: TrackTable, min_hits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slots of confirmed tracks sorted ascending by id, plus the count."""
+    mask = confirmed_mask(table, min_hits)
+    key = jnp.where(mask, table.track_id, _I32_MAX)
+    order = jnp.argsort(key).astype(jnp.int32)
+    return order, jnp.sum(mask).astype(jnp.int32)
+
+
+def tracker_update(
+    table: TrackTable, dets: Detections, cfg: TrackerConfig
+) -> Tuple[TrackTable, jnp.ndarray]:
+    """One tracker step.
+
+    Returns the new table and the per-slot matched-detection index
+    (-1 where unmatched), which downstream stages can use for diagnostics.
+    """
+    t_cap = table.track_id.shape[0]
+    d_cap = dets.bbox.shape[0]
+    traj_cap = table.trajectory.shape[1]
+
+    # --- associate -------------------------------------------------------
+    iou = pairwise_iou(table.bbox, dets.bbox)
+    valid_pair = table.alive[:, None] & dets.valid[None, :]
+    iou = jnp.where(valid_pair, iou, -1.0)
+    match = greedy_associate(iou, id_rank(table), cfg.iou_threshold)  # (T,)
+    matched = match >= 0
+    safe = jnp.where(matched, match, 0)
+
+    # --- matched updates (vectorized) ------------------------------------
+    det_center = dets.center  # (D, 2)
+    new_center = det_center[safe]  # (T, 2)
+    vel = new_center - table.center  # computed before bbox overwrite
+
+    alive_inc = table.alive.astype(jnp.int32)
+    bbox = jnp.where(matched[:, None], dets.bbox[safe], table.bbox)
+    conf = jnp.where(matched, dets.confidence[safe], table.confidence)
+    age = table.age + alive_inc  # matched and missed alive tracks both age
+    hits = table.hits + matched.astype(jnp.int32)
+    misses = jnp.where(matched, 0, table.misses + alive_inc)
+    velocity = jnp.where(matched[:, None], vel, table.velocity)
+    vel_count = table.vel_count + matched.astype(jnp.int32)
+
+    # Trajectory ring append for matched slots.
+    widx = table.traj_len % traj_cap  # (T,)
+    rows = jnp.arange(t_cap)
+    cur = table.trajectory[rows, widx]  # (T, 2)
+    written = jnp.where(matched[:, None], new_center, cur)
+    trajectory = table.trajectory.at[rows, widx].set(written)
+    traj_len = table.traj_len + matched.astype(jnp.int32)
+
+    table = TrackTable(
+        track_id=table.track_id,
+        bbox=bbox,
+        class_id=table.class_id,
+        confidence=conf,
+        age=age,
+        hits=hits,
+        misses=misses,
+        trajectory=trajectory,
+        traj_len=traj_len,
+        velocity=velocity,
+        vel_count=vel_count,
+        next_id=table.next_id,
+    )
+
+    # --- births: unmatched valid detections, in detection order ----------
+    det_matched = jnp.any(
+        match[:, None] == jnp.arange(d_cap, dtype=match.dtype)[None, :], axis=0
+    )
+
+    def birth_body(j, tb: TrackTable) -> TrackTable:
+        want = dets.valid[j] & jnp.logical_not(det_matched[j])
+        free = tb.track_id == 0
+        slot = jnp.argmax(free)
+        do = want & jnp.any(free)
+
+        center_j = det_center[j]
+        traj_row = (
+            jnp.zeros((traj_cap, 2), tb.trajectory.dtype).at[0].set(center_j)
+        )
+
+        def set_if(old, new):
+            return jnp.where(do, new, old)
+
+        return TrackTable(
+            track_id=tb.track_id.at[slot].set(set_if(tb.track_id[slot], tb.next_id)),
+            bbox=tb.bbox.at[slot].set(set_if(tb.bbox[slot], dets.bbox[j])),
+            class_id=tb.class_id.at[slot].set(set_if(tb.class_id[slot], dets.class_id[j])),
+            confidence=tb.confidence.at[slot].set(
+                set_if(tb.confidence[slot], dets.confidence[j])
+            ),
+            age=tb.age.at[slot].set(set_if(tb.age[slot], 0)),
+            hits=tb.hits.at[slot].set(set_if(tb.hits[slot], 1)),
+            misses=tb.misses.at[slot].set(set_if(tb.misses[slot], 0)),
+            trajectory=tb.trajectory.at[slot].set(
+                jnp.where(do, traj_row, tb.trajectory[slot])
+            ),
+            traj_len=tb.traj_len.at[slot].set(set_if(tb.traj_len[slot], 1)),
+            velocity=tb.velocity.at[slot].set(
+                set_if(tb.velocity[slot], jnp.zeros((2,), tb.velocity.dtype))
+            ),
+            vel_count=tb.vel_count.at[slot].set(set_if(tb.vel_count[slot], 0)),
+            next_id=jnp.where(do, tb.next_id + 1, tb.next_id),
+        )
+
+    table = jax.lax.fori_loop(0, d_cap, birth_body, table)
+
+    # --- deaths ----------------------------------------------------------
+    dead = table.alive & (table.misses > cfg.max_age)
+    table = TrackTable(
+        track_id=jnp.where(dead, 0, table.track_id),
+        bbox=table.bbox,
+        class_id=table.class_id,
+        confidence=table.confidence,
+        age=table.age,
+        hits=jnp.where(dead, 0, table.hits),
+        misses=table.misses,
+        trajectory=table.trajectory,
+        traj_len=jnp.where(dead, 0, table.traj_len),
+        velocity=table.velocity,
+        vel_count=jnp.where(dead, 0, table.vel_count),
+        next_id=table.next_id,
+    )
+
+    return table, match

@@ -1,0 +1,86 @@
+"""End-to-end pipeline parity: one jitted scan over the 300-frame synthetic
+sequence vs the frame-by-frame CPU oracle (BASELINE.md north-star check)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_autonomous_driving_perception_and_planning_tpu import (
+    DEFAULT_CONFIG,
+    initial_state,
+    make_sequence_runner,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+    ego_motion_stream,
+    simulated_detection_stream,
+)
+from oracle import OracleEstimator, OracleTracker, oracle_plan
+
+
+def run_pipeline(num_frames):
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    dets = simulated_detection_stream(num_frames)
+    ego = ego_motion_stream(num_frames, dt=1.0 / 30.0, seed=0)
+    inputs = {
+        "bbox": jnp.asarray(dets["bbox"]),
+        "class_id": jnp.asarray(dets["class_id"]),
+        "confidence": jnp.asarray(dets["confidence"]),
+        "valid": jnp.asarray(dets["valid"]),
+        "ego_measurement": jnp.asarray(ego, jnp.float32),
+    }
+    run = make_sequence_runner(cfg, donate=False)
+    final, outs = run(initial_state(cfg), inputs)
+    return cfg, dets, ego, final, outs
+
+
+def test_full_pipeline_matches_oracle_300_frames():
+    num_frames = 300
+    cfg, dets, ego, final, outs = run_pipeline(num_frames)
+
+    tracker = OracleTracker()
+    estimator = OracleEstimator()
+
+    track_ids = np.asarray(outs["track_id"])
+    order = np.asarray(outs["confirmed_order"])
+    ncon = np.asarray(outs["num_confirmed"])
+    vs = outs["vehicle_state"]
+    plan_best = np.asarray(outs["plan_best"])
+    plan_costs = np.asarray(outs["plan_costs"])
+
+    for f in range(num_frames):
+        nd = int(dets["valid"][f].sum())
+        confirmed = tracker.update(
+            dets["bbox"][f][:nd], dets["class_id"][f][:nd], dets["confidence"][f][:nd]
+        )
+        state = estimator.step(ego[f])
+
+        # Track-id parity (bit-exact).
+        want_ids = sorted(t.track_id for t in confirmed)
+        got_ids = [int(track_ids[f, s]) for s in order[f][: int(ncon[f])]]
+        assert got_ids == want_ids, f"frame {f}: {got_ids} vs {want_ids}"
+
+        # Ego-state parity within 1e-3 absolute over 300 f32 frames.
+        for field in ("x", "y", "speed", "heading", "acceleration"):
+            got = float(np.asarray(getattr(vs, field))[f])
+            assert abs(got - state[field]) < 2e-3, (f, field, got, state[field])
+
+        # Planner: same selected candidate, costs within rtol 1e-4.
+        cands, corder = oracle_plan(
+            (state["x"], state["y"], state["heading"], state["speed"])
+        )
+        # Compare plan computed from the *oracle* state with the device plan
+        # computed from the device state: costs must agree to combined tol.
+        np.testing.assert_allclose(
+            plan_costs[f], [c["cost"] for c in cands], rtol=5e-3, atol=5e-2
+        )
+        assert int(plan_best[f]) == corder[0], f"frame {f} plan selection"
+
+
+def test_pipeline_deterministic():
+    _, _, _, f1, o1 = run_pipeline(50)
+    _, _, _, f2, o2 = run_pipeline(50)
+    np.testing.assert_array_equal(
+        np.asarray(o1["track_id"]), np.asarray(o2["track_id"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["plan_best"]), np.asarray(o2["plan_best"])
+    )

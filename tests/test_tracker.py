@@ -1,0 +1,112 @@
+"""Tracker lifecycle parity: JAX slot table vs dict-based oracle over the
+seeded simulated detection stream (track ids must be bit-identical)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_autonomous_driving_perception_and_planning_tpu.config import TrackerConfig
+from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+    simulated_detections_for_frame,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.tracking.tracker import (
+    confirmed_order,
+    tracker_update,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.types import Detections, TrackTable
+from oracle import OracleTracker
+
+
+def to_dets(boxes, cls, confs, capacity=16):
+    n = len(boxes)
+    bbox = np.zeros((capacity, 4), np.float32)
+    c = np.zeros((capacity,), np.int32)
+    cf = np.zeros((capacity,), np.float32)
+    v = np.zeros((capacity,), bool)
+    bbox[:n] = boxes
+    c[:n] = cls
+    cf[:n] = confs
+    v[:n] = True
+    return Detections(
+        bbox=jnp.asarray(bbox),
+        class_id=jnp.asarray(c),
+        confidence=jnp.asarray(cf),
+        valid=jnp.asarray(v),
+    )
+
+
+def confirmed_snapshot(table, order, n):
+    """(id, bbox, hits, misses, age) rows in id order."""
+    order = np.asarray(order)[: int(n)]
+    return [
+        (
+            int(np.asarray(table.track_id)[s]),
+            tuple(np.asarray(table.bbox)[s].tolist()),
+            int(np.asarray(table.hits)[s]),
+            int(np.asarray(table.misses)[s]),
+            int(np.asarray(table.age)[s]),
+        )
+        for s in order
+    ]
+
+
+@pytest.mark.parametrize("num_frames", [60])
+def test_tracker_matches_oracle_on_simulated_stream(num_frames):
+    cfg = TrackerConfig()
+    table = TrackTable.empty(cfg.max_tracks, cfg.trajectory_length)
+    oracle = OracleTracker()
+    step = jax.jit(lambda t, d: tracker_update(t, d, cfg))
+
+    for f in range(1, num_frames + 1):
+        boxes, cls, confs = simulated_detections_for_frame(f)
+        table, _ = step(table, to_dets(boxes, cls, confs))
+        want = oracle.update(boxes, cls, confs)
+
+        order, n = confirmed_order(table, cfg.min_hits)
+        got = confirmed_snapshot(table, order, n)
+        want_rows = [
+            (t.track_id, tuple(float(v) for v in t.bbox), t.hits, t.misses, t.age)
+            for t in sorted(want, key=lambda t: t.track_id)
+        ]
+        assert len(got) == len(want_rows), f"frame {f}: count mismatch"
+        for g, w in zip(got, want_rows):
+            assert g[0] == w[0], f"frame {f}: id mismatch {g} vs {w}"
+            np.testing.assert_allclose(g[1], w[1], atol=1e-4)
+            assert g[2:] == w[2:], f"frame {f}: lifecycle mismatch {g} vs {w}"
+
+
+def test_track_death_after_max_age():
+    cfg = TrackerConfig(max_age=3, min_hits=1, max_tracks=8)
+    table = TrackTable.empty(cfg.max_tracks, cfg.trajectory_length)
+    box = np.array([[100, 100, 200, 200]], np.float32)
+    d1 = to_dets(box, [0], [0.9], capacity=4)
+    empty = to_dets(np.zeros((0, 4)), [], [], capacity=4)
+
+    table, _ = tracker_update(table, d1, cfg)
+    assert int(jnp.sum(table.alive)) == 1
+    for _ in range(4):  # misses 1..4; dies when misses > 3
+        table, _ = tracker_update(table, empty, cfg)
+    assert int(jnp.sum(table.alive)) == 0
+
+
+def test_track_velocity_is_center_diff():
+    cfg = TrackerConfig(min_hits=1, max_tracks=8)
+    table = TrackTable.empty(cfg.max_tracks, cfg.trajectory_length)
+    b0 = np.array([[0, 0, 10, 10]], np.float32)
+    b1 = np.array([[2, 2, 12, 12]], np.float32)  # IoU 0.47 > threshold
+    table, _ = tracker_update(table, to_dets(b0, [0], [0.9], 4), cfg)
+    assert int(table.vel_count[0]) == 0  # no velocity on birth
+    table, _ = tracker_update(table, to_dets(b1, [0], [0.9], 4), cfg)
+    np.testing.assert_allclose(np.asarray(table.velocity)[0], [2.0, 2.0], atol=1e-5)
+    assert int(table.vel_count[0]) == 1
+
+
+def test_new_track_ids_are_sequential():
+    cfg = TrackerConfig(min_hits=1, max_tracks=8)
+    table = TrackTable.empty(cfg.max_tracks, cfg.trajectory_length)
+    boxes = np.array([[0, 0, 10, 10], [300, 300, 340, 340]], np.float32)
+    table, _ = tracker_update(table, to_dets(boxes, [0, 1], [0.9, 0.8], 4), cfg)
+    ids = sorted(np.asarray(table.track_id)[np.asarray(table.alive)].tolist())
+    assert ids == [1, 2]
+    assert int(table.next_id) == 3
