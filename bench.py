@@ -35,7 +35,7 @@ REPEATS = 20
 
 
 def main():
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
     dets = simulated_detection_stream(NUM_FRAMES)
     ego = ego_motion_stream(NUM_FRAMES, dt=1.0 / 30.0, seed=0)
     inputs = {

@@ -1,0 +1,158 @@
+"""Deterministic Hough line transform.
+
+Replaces cv2.HoughLinesP (src/perception/lane_detector.py:92-103 and
+src/tagging/scene_classifier.py:156-162).  HoughLinesP is *probabilistic* —
+it samples edge pixels through OpenCV's internal RNG, so its output is not
+reproducible and cannot anchor a parity contract.  SURVEY.md section 7 directs
+pinning it with a deterministic extractor; this module implements the dense
+(standard) Hough transform:
+
+  1. Edge pixels are compacted to a fixed-capacity list (top_k — ties keep
+     row-major order, deterministic).
+  2. Votes are accumulated over a (theta, rho) grid.
+  3. Peaks = local maxima above the vote threshold (3x3 accumulator NMS).
+  4. Each peak line is reconstructed into one segment by projecting its
+     supporting edge pixels (|distance to line| <= 1 px) onto the line
+     direction and taking the extremes; segments shorter than
+     ``min_line_length`` are dropped.
+
+``max_line_gap`` (150 px at the lane call site — wider than any real gap in
+the scenes) is intentionally not modeled: one segment per line.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HoughLines(NamedTuple):
+    segments: jnp.ndarray  # (L, 4) float32 x1, y1, x2, y2
+    valid: jnp.ndarray  # (L,) bool
+    votes: jnp.ndarray  # (L,) int32
+    length: jnp.ndarray  # (L,) float32
+
+
+def compact_edges(edges: jnp.ndarray, capacity: int):
+    """(H, W) bool -> fixed-size (x, y, valid) edge-pixel list.
+
+    Uses top_k on the flattened mask; ties (all edges are 1.0) keep ascending
+    flat index, i.e. row-major scan order.
+    """
+    h, w = edges.shape
+    flat = edges.reshape(-1).astype(jnp.float32)
+    vals, idx = jax.lax.top_k(flat, capacity)
+    valid = vals > 0
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    return x, y, valid
+
+
+def hough_segments(
+    edges: jnp.ndarray,
+    vote_threshold: int,
+    min_line_length: float,
+    num_thetas: int = 180,
+    max_lines: int = 64,
+    edge_capacity: int = 8192,
+) -> HoughLines:
+    """Dense Hough transform + segment reconstruction.
+
+    Matches cv2.HoughLinesP's grid: rho resolution 1 px, theta resolution
+    pi/num_thetas over [0, pi).
+    """
+    h, w = edges.shape
+    diag = int(math.ceil(math.sqrt(h * h + w * w)))
+    n_rho = 2 * diag + 1
+
+    x, y, valid = compact_edges(edges, edge_capacity)
+    wgt = valid.astype(jnp.float32)
+
+    thetas = jnp.arange(num_thetas, dtype=jnp.float32) * (jnp.pi / num_thetas)
+    cos_t = jnp.cos(thetas)  # (T,)
+    sin_t = jnp.sin(thetas)
+
+    # rho per (theta, pixel); bin index = round(rho) + diag.
+    rho = cos_t[:, None] * x[None, :] + sin_t[:, None] * y[None, :]  # (T, K)
+    rho_idx = jnp.round(rho).astype(jnp.int32) + diag
+
+    def vote_theta(idx_row):
+        return jnp.zeros((n_rho,), jnp.float32).at[idx_row].add(wgt)
+
+    acc = jax.vmap(vote_theta)(rho_idx)  # (T, R)
+
+    # 5x5 local-max NMS on the accumulator: one peak per physical line,
+    # suppressing the +-1-bin vote smear around strong lines (no theta wrap
+    # handling; lane lines live far from the 0/pi boundary after the slope
+    # filter).
+    def shift2(a, di, dj):
+        return jnp.roll(jnp.roll(a, di, axis=0), dj, axis=1)
+
+    neigh_max = acc
+    for di in (-2, -1, 0, 1, 2):
+        for dj in (-2, -1, 0, 1, 2):
+            if di or dj:
+                neigh_max = jnp.maximum(neigh_max, shift2(acc, di, dj))
+    is_peak = (acc >= neigh_max) & (acc >= vote_threshold)
+    peak_score = jnp.where(is_peak, acc, 0.0)
+
+    scores, flat_idx = jax.lax.top_k(peak_score.reshape(-1), max_lines)
+    t_idx = flat_idx // n_rho
+    r_idx = flat_idx % n_rho
+    line_valid = scores > 0
+
+    ct = cos_t[t_idx]  # (L,)
+    st = sin_t[t_idx]
+    line_rho = (r_idx - diag).astype(jnp.float32)
+
+    # Coarse support: the 1-degree theta grid mis-angles long lines by up to
+    # ~2 px at the ends, so gather support generously first...
+    d0 = jnp.abs(ct[:, None] * x[None, :] + st[:, None] * y[None, :] - line_rho[:, None])
+    support0 = (d0 <= 2.0) & valid[None, :]  # (L, K)
+    w0 = support0.astype(jnp.float32)
+    n0 = jnp.maximum(jnp.sum(w0, axis=1), 1.0)
+
+    # ...then refine each line by total least squares over its support
+    # (closed-form 2x2 PCA), recovering sub-bin angle/offset.
+    mx = jnp.sum(w0 * x[None, :], axis=1) / n0
+    my = jnp.sum(w0 * y[None, :], axis=1) / n0
+    dxc = (x[None, :] - mx[:, None]) * w0
+    dyc = (y[None, :] - my[:, None]) * w0
+    sxx = jnp.sum(dxc * dxc, axis=1)
+    sxy = jnp.sum(dxc * dyc, axis=1)
+    syy = jnp.sum(dyc * dyc, axis=1)
+    phi = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)  # direction of max variance
+    dirx, diry = jnp.cos(phi), jnp.sin(phi)
+    # Refined normal and rho.
+    nx, ny = -diry, dirx
+    rho_ref = nx * mx + ny * my
+
+    # Tight support against the refined line.
+    d1 = jnp.abs(nx[:, None] * x[None, :] + ny[:, None] * y[None, :] - rho_ref[:, None])
+    support = (d1 <= 1.5) & valid[None, :]
+
+    # Projection along the refined direction.
+    t_par = dirx[:, None] * x[None, :] + diry[:, None] * y[None, :]  # (L, K)
+    big = jnp.float32(1e9)
+    t_min = jnp.min(jnp.where(support, t_par, big), axis=1)
+    t_max = jnp.max(jnp.where(support, t_par, -big), axis=1)
+    has_support = jnp.any(support, axis=1)
+    length = jnp.where(has_support, t_max - t_min, 0.0)
+
+    t_mean = dirx * mx + diry * my
+    x1 = mx + (t_min - t_mean) * dirx
+    y1 = my + (t_min - t_mean) * diry
+    x2 = mx + (t_max - t_mean) * dirx
+    y2 = my + (t_max - t_mean) * diry
+    segments = jnp.stack([x1, y1, x2, y2], axis=-1)
+
+    keep = line_valid & has_support & (length >= min_line_length)
+    return HoughLines(
+        segments=jnp.where(keep[:, None], segments, 0.0),
+        valid=keep,
+        votes=scores.astype(jnp.int32),
+        length=length,
+    )

@@ -1,0 +1,173 @@
+"""Lane detection on device.
+
+TPU-native rebuild of src/perception/lane_detector.py:178-218:
+
+  gray -> 5x5 Gaussian -> median-adaptive Canny -> trapezoid ROI mask
+  -> deterministic Hough segments -> slope/midpoint left-right split
+  -> quadratic polyfit x(y) -> EMA smoothing against the previous fit.
+
+Also computes the scene-classifier frame features (the reference runs a
+*second* Canny+Hough pass with fixed thresholds inside
+src/tagging/scene_classifier.py:145-162 plus HSV/brightness/Laplacian
+stats, :183-257) so the tagging stage never touches the image itself.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..ops.hough import hough_segments
+from ..ops.image import (
+    bgr_to_gray_u8,
+    bgr_to_hsv_green_ratio,
+    canny,
+    gaussian_blur5_u8,
+    laplacian_variance,
+    median_u8,
+    trapezoid_roi_mask,
+)
+from ..types import LaneObservation, LaneState
+
+
+def fit_lane_polynomial(
+    xs: jnp.ndarray, ys: jnp.ndarray, wgt: jnp.ndarray, height: float
+) -> jnp.ndarray:
+    """Weighted quadratic fit x = a y^2 + b y + c, returned as [a, b, c]
+    (np.polyfit coefficient order, lane_detector.py:156).
+
+    The fit runs in y/height-scaled coordinates for f32 conditioning (raw
+    y^4 sums overflow f32 precision) and is mapped back exactly.
+    """
+    h = jnp.float32(height)
+    u = ys / h
+    A = jnp.stack([u * u, u, jnp.ones_like(u)], axis=-1)  # (P, 3)
+    with jax.default_matmul_precision("float32"):
+        Aw = A * wgt[:, None]
+        coeffs, _, _, _ = jnp.linalg.lstsq(Aw, xs * wgt)
+    a, b, c = coeffs[0], coeffs[1], coeffs[2]
+    return jnp.stack([a / (h * h), b / h, c])
+
+
+def _separate_and_fit(lines, valid, width: int, height: int, max_lines: int):
+    """Slope/midpoint split (lane_detector.py:105-134) + per-side fit."""
+    x1, y1, x2, y2 = lines[:, 0], lines[:, 1], lines[:, 2], lines[:, 3]
+    dx = x2 - x1
+    vertical = dx == 0
+    slope = (y2 - y1) / jnp.where(vertical, 1.0, dx)
+    usable = valid & jnp.logical_not(vertical) & (jnp.abs(slope) >= 0.3)
+    mid = (x1 + x2) * 0.5
+    cx = width / 2.0
+    left = usable & (slope < 0) & (mid < cx)
+    right = usable & (slope > 0) & (mid > cx)
+
+    def fit_side(mask):
+        n = jnp.sum(mask.astype(jnp.int32))
+        # Each segment contributes both endpoints (lane_detector.py:146-148).
+        xs = jnp.concatenate([x1, x2])
+        ys = jnp.concatenate([y1, y2])
+        w = jnp.concatenate([mask, mask]).astype(jnp.float32)
+        coeffs = fit_lane_polynomial(xs, ys, w, float(height))
+        found = n > 0
+        conf = jnp.minimum(1.0, n.astype(jnp.float32) / 10.0)
+        return coeffs, found, conf
+
+    return fit_side(left), fit_side(right)
+
+
+def make_lane_step(cfg: PipelineConfig):
+    h, w = cfg.frame_height, cfg.frame_width
+    roi = trapezoid_roi_mask(h, w)
+    lc = cfg.lanes
+    sf = lc.smoothing_factor
+
+    def lane_step(
+        state: LaneState, frame: jnp.ndarray
+    ) -> Tuple[LaneState, LaneObservation, Dict[str, jnp.ndarray]]:
+        gray = bgr_to_gray_u8(frame)
+
+        # --- lane pipeline (lane_detector.detect) ------------------------
+        blurred = gaussian_blur5_u8(gray)
+        med = median_u8(blurred)
+        low = jnp.floor(jnp.maximum(0.0, 0.7 * med))  # int() truncation
+        high = jnp.floor(jnp.minimum(255.0, 1.3 * med))
+        edges = canny(blurred, low, high)
+        masked = edges & roi
+
+        hl = hough_segments(
+            masked,
+            vote_threshold=lc.hough_threshold,
+            min_line_length=lc.hough_min_line_length,
+            num_thetas=lc.num_thetas,
+            max_lines=lc.max_lines,
+        )
+        (lf, l_found, l_conf), (rf, r_found, r_conf) = _separate_and_fit(
+            hl.segments, hl.valid, w, h, lc.max_lines
+        )
+
+        # EMA against the previous fit (lane_detector.py:159-161,209-216).
+        left_fit = jnp.where(state.left_valid & l_found, sf * state.left_fit + (1 - sf) * lf, lf)
+        right_fit = jnp.where(
+            state.right_valid & r_found, sf * state.right_fit + (1 - sf) * rf, rf
+        )
+
+        new_state = LaneState(
+            left_fit=jnp.where(l_found, left_fit, state.left_fit),
+            right_fit=jnp.where(r_found, right_fit, state.right_fit),
+            left_valid=state.left_valid | l_found,
+            right_valid=state.right_valid | r_found,
+        )
+
+        # Lane-center offset (lane_detector.py:253-272): evaluate the fits at
+        # the frame bottom; the reference int-casts the rasterized points.
+        def at_bottom(fit):
+            yb = jnp.float32(h)
+            xv = fit[0] * yb * yb + fit[1] * yb + fit[2]
+            return jnp.trunc(xv)  # .astype(np.int32) truncates
+
+        both = l_found & r_found
+        lane_center = (at_bottom(left_fit) + at_bottom(right_fit)) / 2.0
+        offset = jnp.where(both, w / 2.0 - lane_center, 0.0)
+
+        obs = LaneObservation(
+            left_fit=left_fit,
+            right_fit=right_fit,
+            left_found=l_found,
+            right_found=r_found,
+            left_confidence=l_conf,
+            right_confidence=r_conf,
+            offset_px=offset,
+            has_offset=both,
+        )
+
+        # --- scene-classifier frame features -----------------------------
+        edges2 = canny(gray, jnp.float32(50.0), jnp.float32(150.0))
+        center = edges2[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3]
+        center_density = jnp.mean(center.astype(jnp.float32))
+
+        scene_hl = hough_segments(
+            edges2,
+            vote_threshold=100,
+            min_line_length=100.0,
+            num_thetas=lc.num_thetas,
+            max_lines=lc.max_lines,
+        )
+        n_scene_lines = jnp.sum(scene_hl.valid.astype(jnp.int32))
+        avg_len = jnp.sum(jnp.where(scene_hl.valid, scene_hl.length, 0.0)) / jnp.maximum(
+            n_scene_lines, 1
+        ).astype(jnp.float32)
+
+        feats = {
+            "center_edge_density": center_density,
+            "num_long_lines": n_scene_lines,
+            "avg_line_length": avg_len,
+            "green_ratio": bgr_to_hsv_green_ratio(frame),
+            "brightness": jnp.mean(gray.astype(jnp.float32)),
+            "laplacian_var": laplacian_variance(gray),
+        }
+        return new_state, obs, feats
+
+    return lane_step

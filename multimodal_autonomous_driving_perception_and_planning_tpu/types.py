@@ -200,14 +200,16 @@ class LaneState:
 
 @pytree_dataclass
 class LaneObservation:
-    """Per-frame lane detection output (lane_detector.py:169-174)."""
+    """Per-frame lane detection output (lane_detector.py:169-174, 253-272)."""
 
-    left_fit: Any  # (3,) float32
+    left_fit: Any  # (3,) float32 [a, b, c] for x = a y^2 + b y + c
     right_fit: Any  # (3,) float32
     left_found: Any  # () bool
     right_found: Any  # () bool
     left_confidence: Any  # () float32 min(1, n_lines/10)
     right_confidence: Any  # () float32
+    offset_px: Any  # () float32 lane-center offset (w/2 - lane_center)
+    has_offset: Any  # () bool both lanes found
 
 
 @pytree_dataclass

@@ -287,3 +287,236 @@ def oracle_plan(
             )
     order = sorted(range(len(results)), key=lambda i: results[i]["cost"])
     return results, order
+
+
+# ---------------------------------------------------------------------------
+# Tagging oracle (scene / maneuver / interaction rule engines)
+# ---------------------------------------------------------------------------
+
+ROAD_TYPES = ("unknown", "intersection", "highway", "urban", "residential", "parking")
+LATERAL = ("lane_keeping", "lane_change_left", "lane_change_right", "swerving")
+LONGITUDINAL = ("cruising", "accelerating", "braking", "hard_braking", "stopped")
+TURNING = ("straight", "turning_left", "turning_right", "u_turn", "curving_left", "curving_right")
+INTERACTIONS = (
+    "no_interaction", "following_vehicle", "being_followed", "yielding",
+    "vehicle_cut_in", "vehicle_cut_out", "pedestrian_crossing",
+    "pedestrian_waiting", "cyclist_nearby", "near_miss", "merging",
+    "passing", "being_passed",
+)
+RISKS = ("low", "medium", "high", "critical")
+CLASS_NAMES = ("car", "truck", "pedestrian", "cyclist", "motorcycle", "bus",
+               "traffic_light", "stop_sign")
+
+
+class OracleSceneClassifier:
+    """scene_classifier.py:91-298 over precomputed visual features."""
+
+    def __init__(self, window=5):
+        self.window = window
+        self.history = []
+
+    def classify(self, feats, det_classes, det_confs, both_lanes):
+        scores = {rt: 0.0 for rt in ROAD_TYPES}
+        if feats["center_edge_density"] > 0.15:
+            scores["intersection"] += 0.4
+        if feats["num_long_lines"] > 5 and feats["avg_line_length"] > 150:
+            scores["highway"] += 0.5
+        if len(det_classes):
+            traffic = sum(1 for c in det_classes if CLASS_NAMES[c] in ("traffic_light", "stop_sign"))
+            if traffic > 0:
+                scores["intersection"] += 0.3
+                scores["urban"] += 0.2
+            veh = sum(1 for c in det_classes if CLASS_NAMES[c] in ("car", "truck", "bus"))
+            if veh > 3:
+                scores["urban"] += 0.3
+                scores["highway"] += 0.2
+            elif veh <= 1:
+                scores["residential"] += 0.3
+        if feats["green_ratio"] > 0.15:
+            scores["residential"] += 0.3
+        if both_lanes:
+            scores["highway"] += 0.2
+            scores["urban"] += 0.1
+        total = sum(scores.values()) + 0.001
+        scores = {k: v / total for k, v in scores.items()}
+        best = max(scores, key=scores.get)
+        conf = scores[best]
+        if conf < 0.3:
+            best, conf = "urban", 0.3
+
+        self.history.append(best)
+        if len(self.history) > self.window:
+            self.history.pop(0)
+        smoothed = best
+        if len(self.history) >= 2:
+            votes = {}
+            for rt in self.history:
+                votes[rt] = votes.get(rt, 0) + 1
+            top = max(votes, key=votes.get)
+            if votes[top] > len(self.history) // 2:
+                smoothed = top
+        return ROAD_TYPES.index(smoothed), conf
+
+
+class OracleManeuverDetector:
+    """maneuver_detector.py:105-268."""
+
+    def __init__(self):
+        self.hist = []
+
+    def detect(self, state, lane_offset):
+        self.hist.append(dict(state))
+        if len(self.hist) > 30:
+            self.hist.pop(0)
+        speed, accel = state["speed"], state["acceleration"]
+        yaw = state["yaw_rate"]
+        yaw_deg = np.degrees(yaw)
+
+        # lateral
+        lat, lat_c = "lane_keeping", 0.8
+        done = False
+        if len(self.hist) >= 10:
+            recent = [s["yaw_rate"] for s in self.hist[-10:]]
+            avg, std = np.mean(recent), np.std(recent)
+            if std > 0.1:
+                lat, lat_c, done = "swerving", min(0.9, std * 5), True
+            else:
+                avg_deg = np.degrees(avg)
+                if avg_deg > 5.0:
+                    lat, lat_c, done = "lane_change_left", min(0.9, abs(avg_deg) / 20), True
+                elif avg_deg < -5.0:
+                    lat, lat_c, done = "lane_change_right", min(0.9, abs(avg_deg) / 20), True
+        if not done and lane_offset is not None and abs(lane_offset) > 0.5:
+            lat, lat_c = ("lane_change_left", 0.6) if lane_offset > 0 else ("lane_change_right", 0.6)
+
+        # longitudinal
+        if speed < 0.5:
+            lon, lon_c = "stopped", 0.95
+        elif accel < -3.0:
+            lon, lon_c = "hard_braking", min(0.95, abs(accel) / 5)
+        elif accel < -1.0:
+            lon, lon_c = "braking", min(0.9, abs(accel) / 3)
+        elif accel > 1.0:
+            lon, lon_c = "accelerating", min(0.9, accel / 3)
+        else:
+            lon, lon_c = "cruising", 0.8
+
+        # turning
+        if len(self.hist) < 15:
+            turn, turn_c = "straight", 0.5
+        else:
+            hs = [s["heading"] for s in self.hist[-15:]]
+            hc = np.degrees(hs[-1] - hs[0])
+            while hc > 180:
+                hc -= 360
+            while hc < -180:
+                hc += 360
+            if abs(hc) > 120:
+                turn, turn_c = "u_turn", 0.8
+            elif hc > 60:
+                turn, turn_c = "turning_left", min(0.9, hc / 90)
+            elif hc < -60:
+                turn, turn_c = "turning_right", min(0.9, abs(hc) / 90)
+            elif hc > 15:
+                turn, turn_c = "curving_left", min(0.8, hc / 45)
+            elif hc < -15:
+                turn, turn_c = "curving_right", min(0.8, abs(hc) / 45)
+            elif abs(yaw_deg) > 15.0:
+                turn, turn_c = ("curving_left", 0.6) if yaw_deg > 0 else ("curving_right", 0.6)
+            else:
+                turn, turn_c = "straight", 0.8
+        return (
+            LATERAL.index(lat), lat_c,
+            LONGITUDINAL.index(lon), lon_c,
+            TURNING.index(turn), turn_c,
+        )
+
+
+class OracleInteractionDetector:
+    """interaction_detector.py:132-398, incl. the string-sort quirk."""
+
+    def __init__(self, frame_shape=(480, 640)):
+        self.h, self.w = frame_shape
+        self.track_history = {}
+
+    def _distance(self, bbox):
+        x1, y1, x2, y2 = bbox
+        bh = y2 - y1
+        if bh <= 0:
+            return 50.0
+        ynorm = y2 / self.h
+        base = 50.0 * (1 - ynorm) + 5.0
+        size = 100.0 / (bh + 10)
+        return max(2.0, min(100.0, (base + size) / 2))
+
+    def detect(self, tracks, ego_speed):
+        """tracks: list of dicts(track_id, bbox, class_id, confidence, velocity|None)."""
+        out = dict(interactions=[], counts=[0, 0, 0], min_dist=float("inf"),
+                   min_ttc=float("inf"), primary=-1, overall=0)
+        if not tracks:
+            return out
+        for t in tracks:
+            name = CLASS_NAMES[t["class_id"]]
+            if name == "pedestrian":
+                out["counts"][0] += 1
+            elif name in ("cyclist", "bicycle"):
+                out["counts"][1] += 1
+            elif name in ("car", "truck", "bus", "motorcycle"):
+                out["counts"][2] += 1
+
+        inters = []
+        for t in tracks:
+            name = CLASS_NAMES[t["class_id"]]
+            bbox = t["bbox"]
+            dist = self._distance(bbox)
+            out["min_dist"] = min(out["min_dist"], dist)
+            vel = t["velocity"]
+            rel = 0.0 if vel is None else ego_speed - vel[1]
+            ttc = dist / rel if rel > 0.1 else None
+            if ttc is not None and ttc > 0:
+                out["min_ttc"] = min(out["min_ttc"], ttc)
+            tid = t["track_id"]
+            hist = self.track_history.setdefault(tid, [])
+            cx = (bbox[0] + bbox[2]) / 2
+            cy = (bbox[1] + bbox[3]) / 2
+            hist.append((cx, cy))
+            if len(hist) > 30:
+                hist.pop(0)
+
+            itype, conf, risk = None, 0.0, 0
+            if dist < 3.0:
+                itype, conf, risk = "near_miss", 0.9, 3
+            elif name == "pedestrian" and dist < 10.0:
+                if abs(cx - self.w / 2) < self.w / 4:
+                    itype, conf, risk = "pedestrian_crossing", 0.8, 2 if dist < 8 else 1
+                else:
+                    itype, conf, risk = "pedestrian_waiting", 0.6, 0
+            elif name in ("cyclist", "bicycle") and dist < 15:
+                itype, conf, risk = "cyclist_nearby", 0.7, 1 if dist < 8 else 0
+            elif name in ("car", "truck", "bus"):
+                if self.w / 4 < cx < 3 * self.w / 4 and 5.0 < dist < 30.0:
+                    risk = 0
+                    if dist < 10:
+                        risk = 1
+                    if ttc and ttc < 3.0:
+                        risk = 2
+                    itype, conf = "following_vehicle", 0.75
+                elif len(hist) >= 10:
+                    sx, ex = hist[0][0], hist[-1][0]
+                    if abs(ex - self.w / 2) < abs(sx - self.w / 2) and dist < 15.0:
+                        itype, conf, risk = "vehicle_cut_in", 0.7, 1
+            if itype:
+                inters.append(dict(type=itype, conf=conf, risk=risk, tid=tid))
+
+        out["interactions"] = inters
+        if inters:
+            ordered = sorted(
+                inters, key=lambda i: (RISKS[i["risk"]], -i["conf"]), reverse=True
+            )
+            out["primary"] = INTERACTIONS.index(ordered[0]["type"])
+            mt = out["min_ttc"]
+            if mt and mt < 1.5:
+                out["overall"] = 3
+            else:
+                out["overall"] = max(i["risk"] for i in inters)
+        return out

@@ -1,0 +1,86 @@
+"""Lane detection: deterministic Hough + polyfit vs ground-truth geometry."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_autonomous_driving_perception_and_planning_tpu import DEFAULT_CONFIG
+from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+    SyntheticRoadGenerator,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.ops.hough import (
+    hough_segments,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.perception.lanes import (
+    make_lane_step,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.types import LaneState
+
+
+def test_hough_finds_a_drawn_line():
+    img = np.zeros((480, 640), np.uint8)
+    cv2.line(img, (100, 400), (300, 100), 255, 1)
+    hl = hough_segments(jnp.asarray(img > 0), vote_threshold=50, min_line_length=50.0)
+    valid = np.asarray(hl.valid)
+    assert valid.any()
+    seg = np.asarray(hl.segments)[np.argmax(np.asarray(hl.votes) * valid)]
+    # Endpoints lie near the drawn segment's ends (either orientation).
+    ends = {tuple(seg[:2]), tuple(seg[2:])}
+    for want in ((100, 400), (300, 100)):
+        assert min(
+            np.hypot(e[0] - want[0], e[1] - want[1]) for e in ends
+        ) < 6.0, (seg, want)
+
+
+def test_lane_step_recovers_ground_truth_lanes():
+    gen = SyntheticRoadGenerator()
+    frame = gen.generate_frame_with_vehicles()
+    cfg = DEFAULT_CONFIG
+    step = make_lane_step(cfg)
+    state, obs, feats = step(LaneState.initial(), jnp.asarray(frame))
+
+    assert bool(obs.left_found) and bool(obs.right_found)
+    h = cfg.frame_height
+    # Hough endpoints cluster at the segment extremes (y ~= h and ~= 0.6h), so
+    # the quadratic is only constrained there — exactly like the reference,
+    # whose np.polyfit over HoughLinesP endpoints has the same support.
+    for side, fit in (("left", np.asarray(obs.left_fit)), ("right", np.asarray(obs.right_fit))):
+        for y in (h * 0.99, h * 0.62):
+            got_x = fit[0] * y * y + fit[1] * y + fit[2]
+            want_x = gen.lane_x_at(side, y)
+            assert abs(got_x - want_x) < 15.0, (side, y, got_x, want_x)
+
+    # Offset: the camera is centered between the lanes -> near zero.
+    assert bool(obs.has_offset)
+    assert abs(float(obs.offset_px)) < 12.0
+
+    # Frame features are sane.
+    assert 0.0 <= float(feats["center_edge_density"]) <= 1.0
+    assert float(feats["brightness"]) > 30.0
+    assert float(feats["green_ratio"]) > 0.05  # grass is visible
+
+
+def test_lane_step_ema_smoothing():
+    gen = SyntheticRoadGenerator()
+    cfg = DEFAULT_CONFIG
+    step = make_lane_step(cfg)
+    state = LaneState.initial()
+    f1 = jnp.asarray(gen.generate_frame_with_vehicles())
+    state, obs1, _ = step(state, f1)
+    f2 = jnp.asarray(gen.generate_frame_with_vehicles())
+    state2, obs2, _ = step(state, f2)
+    # Second-frame fit must be the EMA blend: close to the first fit.
+    d = np.abs(np.asarray(obs2.left_fit) - np.asarray(obs1.left_fit))
+    raw_step = make_lane_step(cfg)
+    _, obs2_raw, _ = raw_step(LaneState.initial(), f2)
+    d_raw = np.abs(np.asarray(obs2_raw.left_fit) - np.asarray(obs1.left_fit))
+    assert (d <= d_raw + 1e-6).all()
+
+
+def test_lane_step_no_lanes_in_blank_frame():
+    cfg = DEFAULT_CONFIG
+    step = make_lane_step(cfg)
+    blank = jnp.zeros((cfg.frame_height, cfg.frame_width, 3), jnp.int32)
+    state, obs, _ = step(LaneState.initial(), blank)
+    assert not bool(obs.left_found) and not bool(obs.right_found)
+    assert not bool(state.left_valid)

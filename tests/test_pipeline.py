@@ -84,3 +84,28 @@ def test_pipeline_deterministic():
     np.testing.assert_array_equal(
         np.asarray(o1["plan_best"]), np.asarray(o2["plan_best"])
     )
+
+
+def test_pipeline_with_frames_and_tagging():
+    """The full image path (lanes + scene features + tagging) under scan."""
+    import numpy as np
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+
+    T = 8
+    cfg = DEFAULT_CONFIG  # frames + tagging enabled
+    gen = SyntheticRoadGenerator()
+    frames = gen.generate_frames(T)
+    dets = simulated_detection_stream(T)
+    ego = ego_motion_stream(T, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    inputs["frame"] = jnp.asarray(frames.astype(np.int32))
+    run = make_sequence_runner(cfg, donate=False)
+    _, outs = run(initial_state(cfg), inputs)
+    lo = outs["lane_obs"]
+    assert np.asarray(lo.left_found).all() and np.asarray(lo.right_found).all()
+    assert np.abs(np.asarray(lo.offset_px)).max() < 20  # ego is lane-centered
+    # Both lanes found -> highway score contribution (long lines dominate).
+    assert np.asarray(outs["tags"]["road_type"]).max() >= 2

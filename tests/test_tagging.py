@@ -1,0 +1,151 @@
+"""Device tagging rules vs the reference-semantics oracle.
+
+The full pipeline (tagging enabled, no frames) runs over the synthetic
+sequence; the oracle's three rule engines are driven with the *same* inputs
+(device detections, device track snapshots, device vehicle states, identical
+default visual features), isolating the rules logic for exact comparison.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_autonomous_driving_perception_and_planning_tpu import (
+    DEFAULT_CONFIG,
+    initial_state,
+    make_sequence_runner,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+    ego_motion_stream,
+    simulated_detection_stream,
+)
+from oracle import (
+    INTERACTIONS,
+    OracleInteractionDetector,
+    OracleManeuverDetector,
+    OracleSceneClassifier,
+)
+
+# The device defaults used when no frame is supplied (tagging/rules.py).
+NO_FRAME_FEATS = dict(
+    center_edge_density=0.0,
+    num_long_lines=0,
+    avg_line_length=0.0,
+    green_ratio=0.0,
+    brightness=128.0,
+    laplacian_var=1000.0,
+)
+
+
+def run_device(num_frames):
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    dets = simulated_detection_stream(num_frames)
+    ego = ego_motion_stream(num_frames, seed=0)
+    inputs = {
+        "bbox": jnp.asarray(dets["bbox"]),
+        "class_id": jnp.asarray(dets["class_id"]),
+        "confidence": jnp.asarray(dets["confidence"]),
+        "valid": jnp.asarray(dets["valid"]),
+        "ego_measurement": jnp.asarray(ego, jnp.float32),
+    }
+    run = make_sequence_runner(cfg, donate=False)
+    _, outs = run(initial_state(cfg), inputs)
+    return cfg, dets, outs
+
+
+def device_confirmed_tracks(outs, f):
+    """Reconstruct the confirmed-track list (id order) from device outputs."""
+    order = np.asarray(outs["confirmed_order"])[f]
+    n = int(np.asarray(outs["num_confirmed"])[f])
+    tracks = []
+    for s in order[:n]:
+        vel_count = int(np.asarray(outs["track_vel_count"])[f, s])
+        tracks.append(
+            dict(
+                track_id=int(np.asarray(outs["track_id"])[f, s]),
+                bbox=tuple(np.asarray(outs["track_bbox"])[f, s].tolist()),
+                class_id=int(np.asarray(outs["track_class_id"])[f, s]),
+                confidence=float(np.asarray(outs["track_confidence"])[f, s]),
+                velocity=(
+                    tuple(np.asarray(outs["track_velocity"])[f, s].tolist())
+                    if vel_count > 0
+                    else None
+                ),
+            )
+        )
+    return tracks
+
+
+def test_tagging_matches_oracle_150_frames():
+    num_frames = 150
+    cfg, dets, outs = run_device(num_frames)
+    tags = outs["tags"]
+    vs = outs["vehicle_state"]
+
+    scene = OracleSceneClassifier()
+    maneuver = OracleManeuverDetector()
+    interaction = OracleInteractionDetector(
+        frame_shape=(cfg.frame_height, cfg.frame_width)
+    )
+
+    for f in range(num_frames):
+        nd = int(dets["valid"][f].sum())
+        det_classes = dets["class_id"][f][:nd].tolist()
+        det_confs = dets["confidence"][f][:nd].tolist()
+
+        want_rt, _ = scene.classify(NO_FRAME_FEATS, det_classes, det_confs, False)
+        got_rt = int(np.asarray(tags["road_type"])[f])
+        assert got_rt == want_rt, (f, got_rt, want_rt)
+
+        state = {
+            k: float(np.asarray(getattr(vs, k))[f])
+            for k in ("speed", "heading", "acceleration", "yaw_rate", "x", "y")
+        }
+        w_lat, w_latc, w_lon, w_lonc, w_turn, w_turnc = maneuver.detect(state, None)
+        assert int(np.asarray(tags["lateral"])[f]) == w_lat, f
+        assert int(np.asarray(tags["longitudinal"])[f]) == w_lon, f
+        assert int(np.asarray(tags["turning"])[f]) == w_turn, f
+        np.testing.assert_allclose(
+            float(np.asarray(tags["lateral_confidence"])[f]), w_latc, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(tags["longitudinal_confidence"])[f]), w_lonc, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(tags["turning_confidence"])[f]), w_turnc, atol=1e-3
+        )
+
+        tracks = device_confirmed_tracks(outs, f)
+        want = interaction.detect(tracks, state["speed"])
+
+        got_counts = [
+            int(np.asarray(tags["pedestrian_count"])[f]),
+            int(np.asarray(tags["cyclist_count"])[f]),
+            int(np.asarray(tags["vehicle_count"])[f]),
+        ]
+        assert got_counts == want["counts"], (f, got_counts, want["counts"])
+
+        got_primary = int(np.asarray(tags["primary_interaction"])[f])
+        assert got_primary == want["primary"], (f, got_primary, want["primary"])
+
+        got_overall = int(np.asarray(tags["overall_risk"])[f])
+        assert got_overall == want["overall"], (f, got_overall, want["overall"])
+
+        if tracks:
+            np.testing.assert_allclose(
+                float(np.asarray(tags["closest_agent_distance"])[f]),
+                want["min_dist"],
+                atol=1e-3,
+            )
+
+        # Present mask vs oracle (conf > 0.5).
+        want_present = {
+            INTERACTIONS.index(i["type"]) for i in want["interactions"] if i["conf"] > 0.5
+        }
+        got_present = set(np.flatnonzero(np.asarray(tags["interaction_present"])[f]))
+        assert got_present == want_present, (f, got_present, want_present)
+
+
+def test_timestamps_follow_frame_counter():
+    _, _, outs = run_device(10)
+    ts = np.asarray(outs["tags"]["timestamp"])
+    np.testing.assert_allclose(ts, np.arange(10) / 30.0, atol=1e-6)
