@@ -35,6 +35,12 @@ REPEATS = 20
 
 
 def main():
+    import jax as _jax
+    from pathlib import Path as _P
+    _c = _P.home() / ".cache" / "madpp_jax"
+    _c.mkdir(parents=True, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", str(_c))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
     dets = simulated_detection_stream(NUM_FRAMES)
     ego = ego_motion_stream(NUM_FRAMES, dt=1.0 / 30.0, seed=0)

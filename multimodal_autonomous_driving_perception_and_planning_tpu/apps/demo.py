@@ -1,0 +1,315 @@
+"""Headless / windowed CLI demo.
+
+Drop-in equivalent of the reference's demo.py:25-231 — same console
+contract (init banner, progress line every 50 frames with FPS / track count
+/ speed, final FPS summary, q/p keyboard control, side-by-side video
+export) — driven by the fused TPU pipeline: frames are decoded into batches,
+the whole chunk runs as one jitted scan on device, and visualization
+consumes the outputs on host.
+
+Also restores the `--test` smoke mode the reference README documents but
+whose implementation was dropped (README.md:169-187 vs demo.py:201-224).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _build_inputs(frames: np.ndarray, num_frames: int, dt: float, use_frames: bool, cfg):
+    import jax.numpy as jnp
+
+    from ..data.synthetic import ego_motion_stream, simulated_detection_stream
+
+    dets = simulated_detection_stream(
+        num_frames,
+        height=cfg.frame_height,
+        width=cfg.frame_width,
+        capacity=cfg.detector.max_detections,
+    )
+    ego = ego_motion_stream(num_frames, dt=dt, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    if use_frames:
+        inputs["frame"] = jnp.asarray(frames.astype(np.int32))
+    return dets, inputs
+
+
+def _enable_persistent_compile_cache():
+    """First compile of the frames pipeline is minutes on TPU; cache it."""
+    import jax
+
+    cache = Path.home() / ".cache" / "madpp_jax"
+    cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def run_demo(
+    video_path: str = None,
+    num_frames: int = None,
+    save_video: bool = False,
+    display: bool = True,
+    synthetic: bool = False,
+    use_frames: bool = True,
+    enable_tagging: bool = True,
+):
+    import cv2
+    import jax
+
+    _enable_persistent_compile_cache()
+
+    from .. import DEFAULT_CONFIG, initial_state, make_sequence_runner
+    from ..data.frames import SyntheticRoadGenerator
+    from ..host import extract_frame
+    from ..viz import BEVRenderer, OverlayRenderer, draw_detections, draw_lanes, draw_tracks
+
+    print("=" * 60)
+    print("Multimodal Autonomous Driving Perception & Planning Demo (TPU)")
+    print("=" * 60)
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=use_frames, enable_tagging=enable_tagging)
+
+    print("\n[1/6] Initializing perception modules...")
+    print("[2/6] Initializing tracking module...")
+    print("[3/6] Initializing state estimation...")
+    print("[4/6] Initializing motion planner...")
+    print("      (all stages fuse into one jitted per-frame program)")
+    print("[5/6] Initializing visualization...")
+    bev = BEVRenderer(cfg.bev)
+    overlay = OverlayRenderer()
+
+    dt = 1.0 / 30.0
+    if synthetic or video_path is None:
+        n = num_frames or 300
+        print(f"[6/6] Generating {n} synthetic road frames...")
+        gen = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height)
+        frames = gen.generate_frames(n) if use_frames else np.zeros((n, 1, 1, 3), np.uint8)
+        total = n
+    else:
+        print(f"[6/6] Loading video: {video_path}")
+        from ..data.video import VideoDataLoader
+
+        try:
+            loader = VideoDataLoader(
+                video_path, target_size=(cfg.frame_width, cfg.frame_height)
+            )
+        except FileNotFoundError:
+            print(f"\nError: Video file not found: {video_path}")
+            sys.exit(1)
+        except ValueError as e:
+            print(f"\nError: Could not open video: {e}")
+            sys.exit(1)
+        print(
+            f"      Video info: {loader.total_frames} frames, {loader.fps:.1f} FPS, "
+            f"{loader.get_info()['width']}x{loader.get_info()['height']}"
+        )
+        total = loader.total_frames if num_frames is None else min(num_frames, loader.total_frames)
+        dt = loader.dt
+        frames = loader.load_frames(total)
+        total = len(frames)
+        loader.release()
+
+    print("\n" + "=" * 60)
+    print("Starting processing pipeline...")
+    print("=" * 60)
+
+    dets, inputs = _build_inputs(frames, total, dt, use_frames, cfg)
+    runner = make_sequence_runner(cfg, donate=False)
+
+    t0 = time.time()
+    final, outs = runner(initial_state(cfg), inputs)
+    jax.block_until_ready(outs["plan_best"])
+    device_time = time.time() - t0
+    outs = jax.device_get(outs)
+    print(
+        f"Device scan: {total} frames in {device_time*1e3:.1f} ms "
+        f"({total/max(device_time,1e-9):.0f} frames/s on "
+        f"{jax.devices()[0].platform.upper()}; includes compile on first run)"
+    )
+
+    # The writer is opened lazily at the first composed frame so its size
+    # always matches (the reference hardcodes 1240x480 against 1400x600
+    # side-by-side frames and silently drops every frame, demo.py:84-91).
+    video_writer = None
+    out_path = Path("output_demo.mp4")
+    if save_video:
+        print(f"\nSaving video to: {out_path}")
+
+    frame_times = []
+    start = time.time()
+    for f in range(total):
+        fs = time.time()
+        res = extract_frame(outs, dets, f)
+
+        camera = frames[f].copy() if use_frames else np.zeros(
+            (cfg.frame_height, cfg.frame_width, 3), np.uint8
+        )
+        camera = draw_detections(camera, res.detections)
+        camera = draw_lanes(camera, res.lane_left, res.lane_right)
+        camera = draw_tracks(camera, res.tracks)
+        fps = 1.0 / (frame_times[-1] if frame_times else 0.033)
+        camera = overlay.draw_info_panel(camera, res.vehicle_state, fps=fps, frame_num=f)
+        camera = overlay.draw_detection_summary(camera, res.detections)
+        if res.lane_offset is not None:
+            camera = overlay.draw_lane_offset_indicator(camera, res.lane_offset)
+
+        bev_img = bev.render(
+            ego_state=res.vehicle_state,
+            tracks=res.tracks,
+            planned_trajectory=res.optimal_trajectory,
+            candidate_trajectories=res.candidate_trajectories[:10],
+            show_grid=True,
+        )
+        combined = overlay.create_side_by_side(
+            camera, bev_img, ("Camera View", "Bird's Eye View")
+        )
+
+        if display:
+            cv2.imshow("Multimodal AV Demo (TPU)", combined)
+            key = cv2.waitKey(1) & 0xFF
+            if key == ord("q"):
+                print("\nUser interrupted.")
+                break
+            if key == ord("p"):
+                print("Paused. Press any key to continue...")
+                cv2.waitKey(0)
+        if save_video:
+            if video_writer is None:
+                video_writer = cv2.VideoWriter(
+                    str(out_path),
+                    cv2.VideoWriter_fourcc(*"mp4v"),
+                    30.0,
+                    (combined.shape[1], combined.shape[0]),
+                )
+            video_writer.write(combined)
+
+        frame_times.append(time.time() - fs)
+        if (f + 1) % 50 == 0:
+            avg_fps = 1.0 / np.mean(frame_times[-50:])
+            print(
+                f"Frame {f + 1}/{total} | "
+                f"FPS: {avg_fps:.1f} | "
+                f"Tracks: {len(res.tracks)} | "
+                f"Speed: {res.vehicle_state.speed * 3.6:.1f} km/h"
+            )
+
+    if video_writer is not None:
+        video_writer.release()
+    if display:
+        cv2.destroyAllWindows()
+
+    wall = time.time() - start
+    n_done = len(frame_times)
+    print("\n" + "=" * 60)
+    print("Demo Complete!")
+    print("=" * 60)
+    print(f"Processed {n_done} frames in {wall:.2f} seconds")
+    print(f"Average FPS: {n_done / wall if wall > 0 else 0:.1f} (host render loop)")
+    print(f"Average frame time: {np.mean(frame_times) * 1000:.1f} ms")
+    print(
+        f"Device pipeline: {total / max(device_time, 1e-9):.1f} frames/s "
+        f"(detect+lane+track+estimate+plan+tag)"
+    )
+    if save_video:
+        print("\nVideo saved to: output_demo.mp4")
+
+
+def run_component_test():
+    """The six-component smoke suite the reference README documents."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import DEFAULT_CONFIG, initial_state, make_pipeline_step
+    from ..data.frames import SyntheticRoadGenerator
+    from ..data.synthetic import simulated_detection_stream
+    from ..pipeline import detections_from_arrays
+    from ..perception.lanes import make_lane_step
+    from ..types import LaneState
+    from ..viz import BEVRenderer
+
+    print("Running component tests...\n")
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+
+    dets = simulated_detection_stream(1)
+    assert dets["valid"][0].sum() >= 3
+    print("[Test 1] Object Detector ✓")
+
+    gen = SyntheticRoadGenerator()
+    lane_step = jax.jit(make_lane_step(DEFAULT_CONFIG))
+    _, obs, _ = lane_step(LaneState.initial(), jnp.asarray(gen.generate_frame_with_vehicles()))
+    assert bool(obs.left_found) and bool(obs.right_found)
+    print("[Test 2] Lane Detector ✓")
+
+    step = jax.jit(make_pipeline_step(cfg))
+    state = initial_state(cfg)
+    frame0 = {k: v[0] for k, v in dets.items()}
+    inputs = {
+        "detections": detections_from_arrays(frame0),
+        "ego_measurement": jnp.asarray([0.33, 0.0, 10.0, 0.0], jnp.float32),
+    }
+    state, out = step(state, inputs)
+    assert int(state.tracks.next_id) > 1
+    print("[Test 3] Multi-Object Tracker ✓")
+
+    assert float(out["vehicle_state"].speed) >= 0
+    print("[Test 4] State Estimator ✓")
+
+    assert int(out["plan_best"]) >= 0 and out["plan_costs"].shape[0] == 21
+    print("[Test 5] Motion Planner ✓")
+
+    bev = BEVRenderer()
+    img = bev.render()
+    assert img.shape == (600, 600, 3)
+    print("[Test 6] BEV Renderer ✓")
+
+    print("\nAll component tests passed.")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Multimodal AV Perception & Planning Demo (TPU-native)"
+    )
+    parser.add_argument("--video", type=str, default=None,
+                        help="Path to input video file")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Use the synthetic road-scene generator")
+    parser.add_argument("--frames", type=int, default=None,
+                        help="Number of frames to process (default: all)")
+    parser.add_argument("--save-video", action="store_true",
+                        help="Save output to output_demo.mp4")
+    parser.add_argument("--no-display", action="store_true",
+                        help="Don't open a display window")
+    parser.add_argument("--no-lanes", action="store_true",
+                        help="Skip on-device lane detection / scene features")
+    parser.add_argument("--no-tagging", action="store_true",
+                        help="Skip the on-device tagging stage")
+    parser.add_argument("--test", action="store_true",
+                        help="Run the six-component smoke test and exit")
+    args = parser.parse_args(argv)
+
+    if args.test:
+        run_component_test()
+        return
+
+    if args.video is None and not args.synthetic:
+        parser.error("either --video or --synthetic is required")
+
+    run_demo(
+        video_path=args.video,
+        num_frames=args.frames,
+        save_video=args.save_video,
+        display=not args.no_display,
+        synthetic=args.synthetic,
+        use_frames=not args.no_lanes,
+        enable_tagging=not args.no_tagging,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -146,10 +146,15 @@ def make_pipeline_step(cfg: PipelineConfig):
             "confirmed_order": order,
             "num_confirmed": n_confirmed,
             "match": match,
+            "track_trajectory": table.trajectory,
+            "track_traj_len": table.traj_len,
             "vehicle_state": vstate,
             "plan_costs": pr.costs,
             "plan_best": pr.best,
             "plan_order": pr.order,
+            "plan_positions": pr.positions,
+            "plan_velocities": pr.velocities,
+            "plan_lateral_offsets": pr.lateral_offsets,
             "plan_best_positions": pr.positions[pr.best],
             "plan_best_velocities": pr.velocities[pr.best],
             "tags": tags,

@@ -1,0 +1,359 @@
+"""Vision-language tagger.
+
+Rebuild of the reference VLMTagger (src/tagging/vlm_tagger.py:78-469):
+BLIP captioning with two prompts ("a photo of a driving scene showing",
+"this driving situation is"), keyword->tag extraction tables, risk parsing,
+frame-skip caching (inference every Nth frame), statistics, and description
+search.
+
+Backends:
+  * ``blip``  — HuggingFace transformers BLIP on host torch (the reference
+    path; lazily loaded, load errors captured like vlm_tagger.py:148-156).
+  * ``stub``  — deterministic caption synthesis from pipeline context
+    (detections / ego state), so the extraction + search + statistics
+    surface runs in weight-less environments and tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import VLMConfig
+
+
+@dataclasses.dataclass
+class VLMTags:
+    """Container mirroring vlm_tagger.py:20-75."""
+
+    frame_idx: int = 0
+    timestamp: float = 0.0
+    scene_description: str = ""
+    safety_assessment: str = ""
+    extracted_tags: List[str] = dataclasses.field(default_factory=list)
+    road_type: str = "unknown"
+    weather: str = "unknown"
+    time_of_day: str = "unknown"
+    vehicles_description: str = ""
+    pedestrians_description: str = ""
+    maneuver_description: str = ""
+    risk_level: str = "low"
+    risk_reason: str = ""
+    confidence: float = 0.0
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    def get_tags_list(self) -> List[str]:
+        tags = list(self.extracted_tags)
+        if self.road_type != "unknown":
+            tags.append(self.road_type)
+        if self.weather != "unknown":
+            tags.append(self.weather)
+        if self.time_of_day != "unknown":
+            tags.append(self.time_of_day)
+        if self.risk_level != "low":
+            tags.append(f"risk_{self.risk_level}")
+        return list(set(tags))
+
+
+# Keyword->tag tables (vlm_tagger.py:341-413).
+ROAD_KEYWORDS = {
+    "highway": ["highway", "freeway", "motorway", "expressway"],
+    "intersection": ["intersection", "crossroads", "junction", "traffic light"],
+    "urban": ["urban", "city", "downtown", "street"],
+    "residential": ["residential", "neighborhood", "suburb"],
+    "parking": ["parking", "parked", "parking lot"],
+}
+WEATHER_KEYWORDS = {
+    "rainy": ["rain", "rainy", "wet", "raining"],
+    "foggy": ["fog", "foggy", "mist", "hazy"],
+    "snowy": ["snow", "snowy", "winter"],
+    "clear": ["clear", "sunny", "bright"],
+}
+
+
+def extract_tags(scene_desc: str, safety_desc: str) -> List[str]:
+    """Keyword extraction over both captions (vlm_tagger.py:341-413)."""
+    text = (scene_desc + " " + safety_desc).lower()
+    tags = []
+    for tag, kws in ROAD_KEYWORDS.items():
+        if any(k in text for k in kws):
+            tags.append(tag)
+    for tag, kws in WEATHER_KEYWORDS.items():
+        if any(k in text for k in kws):
+            tags.append(tag)
+    if any(w in text for w in ("night", "dark", "nighttime")):
+        tags.append("night")
+    elif any(w in text for w in ("day", "daytime", "daylight", "sunny")):
+        tags.append("daytime")
+    if any(w in text for w in ("pedestrian", "people", "person", "walking")):
+        tags.append("pedestrians")
+    if any(w in text for w in ("cyclist", "bicycle", "bike")):
+        tags.append("cyclists")
+    if any(w in text for w in ("truck", "lorry")):
+        tags.append("trucks")
+    if any(w in text for w in ("bus", "buses")):
+        tags.append("buses")
+    if any(w in text for w in ("dangerous", "hazard", "risk", "unsafe", "caution")):
+        tags.append("potential_hazard")
+    if any(w in text for w in ("safe", "clear road", "no obstacles")):
+        tags.append("safe_conditions")
+    if any(w in text for w in ("close", "near miss", "almost", "too close")):
+        tags.append("close_call")
+    if any(w in text for w in ("heavy traffic", "congested", "traffic jam", "busy")):
+        tags.append("heavy_traffic")
+    if any(w in text for w in ("empty", "no traffic", "clear road")):
+        tags.append("light_traffic")
+    if any(w in text for w in ("turning", "turn left", "turn right")):
+        tags.append("turning")
+    if any(w in text for w in ("lane change", "changing lanes", "merging")):
+        tags.append("lane_change")
+    if any(w in text for w in ("stopping", "stopped", "brake", "braking")):
+        tags.append("stopping")
+    if any(w in text for w in ("crossing", "crosswalk", "cross the")):
+        tags.append("crossing")
+    return list(set(tags))
+
+
+def parse_risk(safety_text: str) -> Tuple[str, str]:
+    """Severity keyword cascade (vlm_tagger.py:415-426)."""
+    t = safety_text.lower()
+    if any(w in t for w in ("very dangerous", "extremely", "critical", "emergency", "collision")):
+        return "critical", safety_text
+    if any(w in t for w in ("dangerous", "hazard", "risk", "unsafe", "caution needed")):
+        return "high", safety_text
+    if any(w in t for w in ("moderate", "some risk", "attention", "careful")):
+        return "medium", safety_text
+    return "low", safety_text
+
+
+def infer_road_type(desc: str) -> str:
+    d = desc.lower()
+    if any(w in d for w in ("highway", "freeway", "motorway")):
+        return "highway"
+    if any(w in d for w in ("intersection", "traffic light", "crossroad")):
+        return "intersection"
+    if any(w in d for w in ("city", "urban", "street", "building")):
+        return "urban"
+    if any(w in d for w in ("residential", "neighborhood", "house")):
+        return "residential"
+    return "road"
+
+
+def infer_weather(desc: str) -> str:
+    d = desc.lower()
+    if any(w in d for w in ("rain", "wet", "rainy")):
+        return "rainy"
+    if any(w in d for w in ("snow", "snowy", "winter")):
+        return "snowy"
+    if any(w in d for w in ("fog", "foggy", "mist")):
+        return "foggy"
+    return "clear"
+
+
+def infer_time_of_day(desc: str) -> str:
+    d = desc.lower()
+    return "night" if any(w in d for w in ("night", "dark", "evening")) else "day"
+
+
+class _StubBackend:
+    """Deterministic caption synthesis from pipeline context."""
+
+    def generate(self, frame, prompt, context) -> str:
+        n_tracks = len(context.get("tracks") or [])
+        speed = 0.0
+        vs = context.get("vehicle_state")
+        if vs is not None:
+            speed = getattr(vs, "speed", 0.0) * 3.6
+        brightness = float(np.mean(frame)) if frame is not None else 128.0
+        tod = "night" if brightness < 60 else "daytime"
+        traffic = "heavy traffic" if n_tracks > 5 else ("light traffic" if n_tracks <= 1 else "moderate traffic")
+        if prompt and "situation" in prompt:
+            if n_tracks > 5 or speed > 100:
+                return "this driving situation is dangerous with heavy traffic nearby"
+            return "this driving situation is safe with a clear road ahead"
+        return (
+            f"a photo of a driving scene showing a street with {traffic} "
+            f"during the {tod}, vehicles moving at about {speed:.0f} km/h"
+        )
+
+
+class _BlipBackend:
+    """HuggingFace BLIP captioning (vlm_tagger.py:119-190)."""
+
+    def __init__(self, cfg: VLMConfig):
+        self.cfg = cfg
+        self.model = None
+        self.processor = None
+        self.load_error: Optional[str] = None
+        self.device = cfg.device or None
+
+    def _load(self) -> bool:
+        if self.model is not None:
+            return True
+        if self.load_error:
+            return False
+        try:
+            import torch
+            from transformers import BlipForConditionalGeneration, BlipProcessor
+
+            self.device = self.device or ("cuda" if torch.cuda.is_available() else "cpu")
+            self.processor = BlipProcessor.from_pretrained(self.cfg.model_name)
+            self.model = BlipForConditionalGeneration.from_pretrained(
+                self.cfg.model_name, torch_dtype=torch.float32
+            )
+            self.model.to(self.device)
+            self.model.eval()
+            return True
+        except Exception as e:  # ImportError, download failure, ...
+            self.load_error = str(e)
+            return False
+
+    def generate(self, frame, prompt, context) -> str:
+        if not self._load():
+            return f"Model load failed: {self.load_error}"
+        try:
+            import torch
+            from PIL import Image
+
+            rgb = np.ascontiguousarray(frame[..., ::-1])  # BGR -> RGB
+            image = Image.fromarray(rgb.astype(np.uint8))
+            if prompt:
+                inputs = self.processor(images=image, text=prompt, return_tensors="pt")
+            else:
+                inputs = self.processor(images=image, return_tensors="pt")
+            inputs = inputs.to(self.device)
+            with torch.no_grad():
+                out = self.model.generate(
+                    **inputs,
+                    max_new_tokens=self.cfg.max_new_tokens,
+                    num_beams=self.cfg.num_beams,
+                )
+            return self.processor.decode(out[0], skip_special_tokens=True).strip()
+        except Exception as e:
+            return f"Generation error: {e}"
+
+
+class VLMTagger:
+    """Open-vocabulary captioning -> structured tags with frame-skip caching."""
+
+    def __init__(self, cfg: VLMConfig = VLMConfig(), backend: str = "auto"):
+        self.cfg = cfg
+        if backend == "auto":
+            self._backend = _BlipBackend(cfg)
+            self._fallback = _StubBackend()
+        elif backend == "blip":
+            self._backend = _BlipBackend(cfg)
+            self._fallback = None
+        else:
+            self._backend = _StubBackend()
+            self._fallback = None
+        self.frame_count = 0
+        self.tag_history: List[VLMTags] = []
+        self._last_tags: Optional[VLMTags] = None
+
+    def _generate(self, frame, prompt, context) -> str:
+        text = self._backend.generate(frame, prompt, context)
+        failed = "load failed" in text.lower() or "error" in text.lower()
+        if failed and self._fallback is not None:
+            return self._fallback.generate(frame, prompt, context)
+        return text
+
+    def tag_frame(
+        self,
+        frame: np.ndarray,
+        vehicle_state=None,
+        tracks: Optional[List] = None,
+        force_update: bool = False,
+    ) -> VLMTags:
+        timestamp = self.frame_count / 30.0
+
+        # Frame-skip cache (vlm_tagger.py:211-232).
+        if (
+            not force_update
+            and self._last_tags is not None
+            and self.frame_count % self.cfg.cache_interval != 0
+        ):
+            cached = dataclasses.replace(
+                self._last_tags, frame_idx=self.frame_count, timestamp=timestamp
+            )
+            self.frame_count += 1
+            return cached
+
+        context = {"vehicle_state": vehicle_state, "tracks": tracks}
+        tags = VLMTags(frame_idx=self.frame_count, timestamp=timestamp)
+        tags.scene_description = self._generate(
+            frame, "a photo of a driving scene showing", context
+        )
+        tags.safety_assessment = self._generate(
+            frame, "this driving situation is", context
+        )
+        tags.extracted_tags = extract_tags(tags.scene_description, tags.safety_assessment)
+        tags.road_type = infer_road_type(tags.scene_description)
+        tags.weather = infer_weather(tags.scene_description)
+        tags.time_of_day = infer_time_of_day(tags.scene_description)
+        tags.risk_level, tags.risk_reason = parse_risk(tags.safety_assessment)
+
+        # Vehicle-state context tags (vlm_tagger.py:303-316).
+        if vehicle_state is not None:
+            speed = getattr(vehicle_state, "speed", 0) * 3.6
+            if speed < 5:
+                tags.extracted_tags.append("stopped")
+            elif speed > 100:
+                tags.extracted_tags.append("high_speed")
+            accel = getattr(vehicle_state, "acceleration", 0)
+            if accel < -3:
+                tags.extracted_tags.append("hard_braking")
+            elif accel < -1:
+                tags.extracted_tags.append("braking")
+            elif accel > 1:
+                tags.extracted_tags.append("accelerating")
+
+        # Track context tags (vlm_tagger.py:318-325).
+        if tracks:
+            if len(tracks) > 5:
+                tags.extracted_tags.append("heavy_traffic")
+            peds = sum(1 for t in tracks if getattr(t, "class_name", "") == "pedestrian")
+            if peds > 0:
+                tags.extracted_tags.append("pedestrians_present")
+
+        tags.confidence = 0.8
+        self._last_tags = tags
+        self.tag_history.append(tags)
+        self.frame_count += 1
+        return tags
+
+    def get_statistics(self) -> Dict:
+        if not self.tag_history:
+            return {}
+        counts: Dict[str, int] = {}
+        for t in self.tag_history:
+            for tag in t.extracted_tags:
+                counts[tag] = counts.get(tag, 0) + 1
+        ordered = sorted(counts.items(), key=lambda x: x[1], reverse=True)
+        return {
+            "total_frames": len(self.tag_history),
+            "unique_tags": len(counts),
+            "tag_frequency": dict(ordered[:20]),
+            "frames_with_risk": sum(1 for t in self.tag_history if t.risk_level != "low"),
+        }
+
+    def search_by_description(self, query: str) -> List[VLMTags]:
+        q = query.lower()
+        out = []
+        for t in self.tag_history:
+            if (
+                q in t.scene_description.lower()
+                or q in t.safety_assessment.lower()
+                or any(q in tag for tag in t.extracted_tags)
+            ):
+                out.append(t)
+        return out
+
+    def reset(self) -> None:
+        self.frame_count = 0
+        self.tag_history = []
+        self._last_tags = None

@@ -12,6 +12,11 @@ select CPU.
 
 import os
 
+# Zero-egress environment: make transformers fail fast instead of hanging on
+# hub downloads (the VLM tagger then exercises its fallback path).
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
