@@ -1,0 +1,94 @@
+"""Fixed-capacity non-maximum suppression for TPU.
+
+The reference delegates NMS to ultralytics' torch implementation inside
+``self.model(frame)`` (src/perception/detector.py:103-123).  This is the
+TPU-native equivalent: static shapes throughout, one (K, K) IoU matrix on
+the VPU, and a sequential greedy pass expressed as a fori_loop — the exact
+semantics of torchvision/ultralytics NMS (score-descending greedy with IoU
+suppression, class-aware via the coordinate-offset trick).
+
+Pipeline: score filter -> top-K prefilter -> greedy suppress -> top
+``max_det`` survivors, all fixed capacity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import pairwise_iou
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray  # (max_det, 4) xyxy
+    scores: jnp.ndarray  # (max_det,)
+    classes: jnp.ndarray  # (max_det,) int32
+    valid: jnp.ndarray  # (max_det,) bool
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.25,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_aware: bool = True,
+    max_wh: float = 7680.0,
+) -> NMSResult:
+    """Greedy NMS over an (N, 4) candidate set.
+
+    Args:
+      boxes: (N, 4) xyxy.
+      scores: (N,) confidence.
+      classes: (N,) int32 class ids.
+      class_aware: offset boxes per class so suppression never crosses
+        classes (ultralytics' ``c = x[:, 5:6] * max_wh`` trick).
+    """
+    scores = jnp.where(scores > score_threshold, scores, 0.0)
+
+    k = min(pre_topk, boxes.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[idx]
+    top_classes = classes[idx]
+    alive = top_scores > 0
+
+    if class_aware:
+        offset = top_classes.astype(jnp.float32)[:, None] * max_wh
+        iou_boxes = top_boxes + offset
+    else:
+        iou_boxes = top_boxes
+    iou = pairwise_iou(iou_boxes, iou_boxes)  # (k, k)
+
+    # top_k returns scores descending, so candidate i can only be suppressed
+    # by a *kept* candidate j < i with IoU > threshold.  Sequential greedy:
+    def body(i, keep):
+        suppressors = keep & (jnp.arange(k) < i) & (iou[i] > iou_threshold)
+        keep_i = alive[i] & jnp.logical_not(jnp.any(suppressors))
+        return keep.at[i].set(keep_i)
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+
+    # Compact the survivors (score order preserved) into max_det slots.
+    kept_scores = jnp.where(keep, top_scores, -1.0)
+    sel_scores, sel = jax.lax.top_k(kept_scores, min(max_det, k))
+    valid = sel_scores > 0
+    out_boxes = jnp.where(valid[:, None], top_boxes[sel], 0.0)
+    out_classes = jnp.where(valid, top_classes[sel], 0)
+    out_scores = jnp.where(valid, sel_scores, 0.0)
+
+    if max_det > k:  # pad up to max_det
+        pad = max_det - k
+        out_boxes = jnp.concatenate([out_boxes, jnp.zeros((pad, 4))], axis=0)
+        out_scores = jnp.concatenate([out_scores, jnp.zeros((pad,))], axis=0)
+        out_classes = jnp.concatenate(
+            [out_classes, jnp.zeros((pad,), out_classes.dtype)], axis=0
+        )
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+
+    return NMSResult(
+        boxes=out_boxes, scores=out_scores, classes=out_classes, valid=valid
+    )

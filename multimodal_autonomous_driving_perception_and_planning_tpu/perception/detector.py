@@ -1,0 +1,172 @@
+"""Object detection frontends.
+
+API-parity with the reference ObjectDetector (src/perception/detector.py:29-226):
+two modes, "simulated" (seeded synthetic boxes) and "yolo" (real model +
+NMS), emitting fixed-capacity detection tables for the pipeline.
+
+TPU design: detection is a *frontend* that maps a frame batch to a
+(T, D, ...) detection stream on device, which the fused tracker/planner
+scan then consumes — detection batches over frames on the MXU while the
+sequential stages scan, instead of interleaving per frame like the
+reference loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..host import CLASS_NAMES, HostDetection
+
+
+def make_yolo_frontend(
+    cfg: PipelineConfig,
+    variant: str = "n",
+    batch: int = 8,
+    score_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+):
+    """Build (init_fn, stream_fn): stream_fn(variables, frames (T,H,W,3))
+    -> detection stream dict of (T, D, ...) arrays."""
+    from ..models.yolov8 import make_yolo_detector
+
+    init_fn, detect_fn = make_yolo_detector(
+        variant=variant,
+        max_det=cfg.detector.max_detections,
+        score_threshold=score_threshold,
+        iou_threshold=iou_threshold,
+    )
+
+    @partial(jax.jit, static_argnums=())
+    def stream_fn(variables, frames):
+        def one(frame):
+            return detect_fn(variables, frame)
+
+        # lax.map with a batch of frames vmapped per step bounds peak memory.
+        t = frames.shape[0]
+        pad = (-t) % batch
+        padded = jnp.concatenate(
+            [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)], axis=0
+        )
+        chunks = padded.reshape((-1, batch) + frames.shape[1:])
+        out = jax.lax.map(jax.vmap(one), chunks)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:t], out
+        )
+        return out
+
+    return init_fn, stream_fn
+
+
+class ObjectDetector:
+    """Host-facing detector with the reference's constructor/API surface.
+
+    ``detect(frame)`` returns a list of HostDetection; ``detect_stream``
+    returns the device detection tables the pipeline consumes.
+    """
+
+    def __init__(
+        self,
+        mode: str = "simulated",
+        model_path: Optional[str] = None,
+        cfg: Optional[PipelineConfig] = None,
+        rng_seed: int = 0,
+    ):
+        from ..config import DEFAULT_CONFIG
+
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.mode = mode
+        self.frame_count = 0
+        self.variables = None
+        self._stream_fn = None
+
+        if mode == "yolo":
+            init_fn, self._stream_fn = make_yolo_frontend(self.cfg)
+            if model_path:
+                loaded = self._try_load_weights(model_path)
+                if loaded is None:
+                    print(
+                        "Could not load YOLO weights "
+                        f"({model_path}); falling back to simulated mode."
+                    )
+                    self.mode = "simulated"
+                else:
+                    self.variables = loaded
+            else:
+                self.variables = init_fn(jax.random.PRNGKey(rng_seed))
+
+    def _try_load_weights(self, model_path: str):
+        """Accepts a torch state_dict checkpoint (see models.yolov8)."""
+        try:
+            import torch
+
+            from ..models.yolov8 import load_torch_state_dict
+
+            sd = torch.load(model_path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            return load_torch_state_dict(sd)
+        except Exception:
+            return None
+
+    # -- per-frame host API (reference detector.py:86-101) -----------------
+    def detect(self, frame: np.ndarray):
+        self.frame_count += 1
+        if self.mode == "yolo" and self.variables is not None:
+            out = self._stream_fn(self.variables, jnp.asarray(frame)[None])
+            out = {k: np.asarray(v)[0] for k, v in out.items()}
+        else:
+            from ..data.synthetic import simulated_detections_for_frame
+
+            boxes, cls, confs = simulated_detections_for_frame(
+                self.frame_count, frame.shape[0], frame.shape[1]
+            )
+            d = self.cfg.detector.max_detections
+            out = {
+                "bbox": np.zeros((d, 4), np.float32),
+                "class_id": np.zeros((d,), np.int32),
+                "confidence": np.zeros((d,), np.float32),
+                "valid": np.zeros((d,), bool),
+            }
+            n = min(len(boxes), d)
+            out["bbox"][:n] = boxes[:n]
+            out["class_id"][:n] = cls[:n]
+            out["confidence"][:n] = confs[:n]
+            out["valid"][:n] = True
+        return [
+            HostDetection(
+                bbox=tuple(out["bbox"][j].tolist()),
+                class_id=int(out["class_id"][j]),
+                class_name=CLASS_NAMES[int(out["class_id"][j])],
+                confidence=float(out["confidence"][j]),
+            )
+            for j in np.flatnonzero(out["valid"])
+        ]
+
+    # -- batch device API ---------------------------------------------------
+    def detect_stream(self, frames) -> Dict[str, jnp.ndarray]:
+        """(T, H, W, 3) frames -> (T, D, ...) detection tables on device."""
+        if self.mode == "yolo" and self.variables is not None:
+            out = self._stream_fn(self.variables, jnp.asarray(frames))
+            self.frame_count += int(frames.shape[0])
+            return out
+        from ..data.synthetic import simulated_detection_stream
+
+        t = int(frames.shape[0])
+        stream = simulated_detection_stream(
+            t,
+            height=self.cfg.frame_height,
+            width=self.cfg.frame_width,
+            capacity=self.cfg.detector.max_detections,
+            start_frame_count=self.frame_count + 1,
+        )
+        self.frame_count += t
+        return {k: jnp.asarray(v) for k, v in stream.items()}
+
+    def reset(self) -> None:
+        self.frame_count = 0

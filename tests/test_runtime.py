@@ -1,0 +1,88 @@
+"""Native C++ frame-ring runtime: build, stream, batch, raw-file mode."""
+
+import numpy as np
+import pytest
+
+from multimodal_autonomous_driving_perception_and_planning_tpu.runtime import (
+    NativeFrameSource,
+    build_runtime,
+)
+
+
+def test_builds_and_streams_synthetic():
+    build_runtime()
+    with NativeFrameSource(width=320, height=240, slots=4, num_frames=10) as src:
+        frames = []
+        while True:
+            f = src.next_frame()
+            if f is None:
+                break
+            frames.append(f)
+        assert len(frames) == 10
+        assert frames[0].shape == (240, 320, 3)
+        # Sky gradient at top, grass below the horizon.
+        assert frames[0][0, 0, 0] > 150  # bright sky blue channel
+        assert frames[0][-1, 0, 1] in (60, 110)  # road gray or grass green
+        # Frames animate (drifting vehicle).
+        assert not np.array_equal(frames[0], frames[9])
+        assert src.produced == 10 and src.consumed == 10
+
+
+def test_batch_drain_overlaps_producer():
+    with NativeFrameSource(width=160, height=120, slots=4, num_frames=25) as src:
+        b1 = src.next_batch(10)
+        b2 = src.next_batch(10)
+        b3 = src.next_batch(10)  # only 5 left
+        assert b1.shape == (10, 120, 160, 3)
+        assert b2.shape[0] == 10
+        assert b3.shape[0] == 5
+        assert src.consumed == 25
+
+
+def test_rawfile_mode_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (6, 60, 80, 3), np.uint8)
+    raw = tmp_path / "frames.raw"
+    raw.write_bytes(frames.tobytes())
+    with NativeFrameSource(
+        width=80, height=60, slots=3, num_frames=6, raw_path=str(raw)
+    ) as src:
+        got = src.next_batch(6)
+        np.testing.assert_array_equal(got, frames)
+        assert src.next_frame(timeout_ms=200) is None
+
+
+def test_rawfile_truncated_stream_ends_cleanly(tmp_path):
+    frames = np.zeros((3, 60, 80, 3), np.uint8)
+    raw = tmp_path / "short.raw"
+    raw.write_bytes(frames.tobytes())
+    with NativeFrameSource(
+        width=80, height=60, slots=3, num_frames=10, raw_path=str(raw)
+    ) as src:
+        got = src.next_batch(10)
+        assert got.shape[0] == 3
+
+
+def test_missing_rawfile_ends_immediately(tmp_path):
+    with NativeFrameSource(
+        width=80, height=60, slots=3, num_frames=5, raw_path=str(tmp_path / "nope.raw")
+    ) as src:
+        assert src.next_frame(timeout_ms=500) is None
+
+
+def test_native_frames_feed_lane_detector():
+    """The C++ synthetic frames must exercise the device lane pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import DEFAULT_CONFIG
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.lanes import (
+        make_lane_step,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.types import LaneState
+
+    with NativeFrameSource(width=640, height=480, slots=4, num_frames=1) as src:
+        frame = src.next_frame()
+    step = jax.jit(make_lane_step(DEFAULT_CONFIG))
+    _, obs, _ = step(LaneState.initial(), jnp.asarray(frame.astype(np.int32)))
+    assert bool(obs.left_found) and bool(obs.right_found)

@@ -1,0 +1,85 @@
+"""Profiler / checkpoint / metrics utilities."""
+
+import json
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_autonomous_driving_perception_and_planning_tpu import (
+    DEFAULT_CONFIG,
+    initial_state,
+    make_sequence_runner,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+    ego_motion_stream,
+    simulated_detection_stream,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.utils import (
+    FrameTimer,
+    MetricsLogger,
+    restore_pipeline_state,
+    save_pipeline_state,
+)
+
+
+def _run(cfg, state, start, n):
+    dets = simulated_detection_stream(n, start_frame_count=start + 1)
+    ego = ego_motion_stream(start + n, seed=0)[start:]
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    run = make_sequence_runner(cfg, donate=False)
+    return run(state, inputs)
+
+
+def test_checkpoint_resume_is_exact(tmp_path):
+    """Run 40 frames straight vs 20 + checkpoint/restore + 20: identical."""
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+
+    final_a, outs_a = _run(cfg, initial_state(cfg), 0, 40)
+
+    mid, _ = _run(cfg, initial_state(cfg), 0, 20)
+    ckpt = tmp_path / "ckpt"
+    save_pipeline_state(str(ckpt), mid)
+    restored = restore_pipeline_state(str(ckpt), initial_state(cfg))
+    np.testing.assert_array_equal(
+        np.asarray(mid.tracks.track_id), np.asarray(restored.tracks.track_id)
+    )
+    final_b, outs_b = _run(cfg, restored, 20, 20)
+
+    np.testing.assert_array_equal(
+        np.asarray(outs_a["track_id"])[20:], np.asarray(outs_b["track_id"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_a["plan_costs"])[20:],
+        np.asarray(outs_b["plan_costs"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_a.tracks.next_id), np.asarray(final_b.tracks.next_id)
+    )
+
+
+def test_frame_timer_contract():
+    t = FrameTimer(report_every=5)
+    for i in range(10):
+        with t:
+            time.sleep(0.001)
+        line = t.maybe_report(i, 10, extra="Tracks: 3")
+        if i + 1 in (5, 10):
+            assert line is not None and line.startswith(f"Frame {i+1}/10 | FPS:")
+            assert "Tracks: 3" in line
+        else:
+            assert line is None
+    assert t.fps > 0
+    assert "Processed 10 frames" in t.summary()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(str(path))
+    log.log_frame(0, num_tracks=3, speed_kmh=36.0)
+    log.log_frame(1, num_tracks=4, speed_kmh=37.0)
+    log.close()
+    rows = [json.loads(line) for line in path.read_text().splitlines()]
+    assert rows[0]["frame"] == 0 and rows[1]["num_tracks"] == 4
