@@ -3,6 +3,7 @@ from .synthetic import (
     ego_motion_stream,
     simulated_vehicle_motion_stream,
     device_detection_stream,
+    generate_agent_trajectories,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "ego_motion_stream",
     "simulated_vehicle_motion_stream",
     "device_detection_stream",
+    "generate_agent_trajectories",
 ]

@@ -166,6 +166,42 @@ def simulated_vehicle_motion_stream(
     return meas, truth
 
 
+def generate_agent_trajectories(
+    num_agents: int,
+    num_steps: int,
+    dt: float = 1.0 / 30.0,
+    seed: int | None = 0,
+):
+    """Random-walk agent trajectories, matching
+    SyntheticDataGenerator.generate_agent_trajectories (bytecode-recovered,
+    data/generators/synthetic_data.cpython-312.pyc lines 221-255): per agent,
+    start x~U(-20,20), y~U(10,40), heading~U(-0.3,0.3), speed~U(5,15); each
+    step heading += N(0,0.02), speed += N(0,0.1) clipped to [3,20], then
+    Euler-integrate.
+
+    Returns dict mapping agent_id -> list of (x, y, vx, vy) tuples.
+    """
+    if seed is not None:
+        np.random.seed(seed)
+    trajectories = {}
+    for agent_id in range(num_agents):
+        x = np.random.uniform(-20, 20)
+        y = np.random.uniform(10, 40)
+        heading = np.random.uniform(-0.3, 0.3)
+        speed = np.random.uniform(5, 15)
+        agent_traj = []
+        for _ in range(num_steps):
+            heading += np.random.normal(0, 0.02)
+            speed = np.clip(speed + np.random.normal(0, 0.1), 3, 20)
+            vx = speed * np.cos(heading)
+            vy = speed * np.sin(heading)
+            x += vx * dt
+            y += vy * dt
+            agent_traj.append((x, y, vx, vy))
+        trajectories[agent_id] = agent_traj
+    return trajectories
+
+
 def device_detection_stream(
     num_frames: int,
     height: int = 480,

@@ -72,6 +72,28 @@ def extract_state(
     return state, heading, speed
 
 
+def set_initial_state(
+    ks: KalmanState,
+    x: float,
+    y: float,
+    vx: float = 0.0,
+    vy: float = 0.0,
+    ax: float = 0.0,
+    ay: float = 0.0,
+) -> KalmanState:
+    """Seed the filter at a known state (vehicle_state.py:242-248): sets the
+    6-vector and primes prev_heading/prev_speed from the given velocity so
+    the first frame's finite differences are taken against it."""
+    x6 = jnp.asarray([x, y, vx, vy, ax, ay], ks.x.dtype)
+    return KalmanState(
+        x=x6,
+        P=ks.P,
+        time=ks.time,
+        prev_heading=jnp.asarray(jnp.arctan2(vy, vx), ks.prev_heading.dtype),
+        prev_speed=jnp.asarray(jnp.sqrt(vx * vx + vy * vy), ks.prev_speed.dtype),
+    )
+
+
 def estimator_step(
     ks: KalmanState,
     model: KalmanModel,

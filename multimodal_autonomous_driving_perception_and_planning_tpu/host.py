@@ -71,6 +71,36 @@ class HostTrack:
         x1, y1, x2, y2 = self.bbox
         return ((x1 + x2) / 2, (y1 + y2) / 2)
 
+    def predict_next_position(self) -> Tuple[float, float]:
+        """Constant-velocity next-center prediction
+        (multi_object_tracker.py:41-47)."""
+        cx, cy = self.center
+        if self.velocity:
+            vx, vy = self.velocity
+            return (cx + vx, cy + vy)
+        return (cx, cy)
+
+
+def get_all_trajectories(tracks: List["HostTrack"]) -> Dict[int, List[Tuple[float, float]]]:
+    """{track_id: trajectory} for confirmed tracks
+    (multi_object_tracker.py:243-249; the confirmed filter is already applied
+    when `extract_frame` builds the track list)."""
+    return {t.track_id: list(t.trajectory) for t in tracks}
+
+
+def get_lane_center_offset(
+    frame_width: int,
+    left_points: Optional[np.ndarray],
+    right_points: Optional[np.ndarray],
+) -> Optional[float]:
+    """Vehicle offset from lane center in pixels, from rasterized lane
+    points (lane_detector.py:253-272).  Negative = lane center right of the
+    vehicle.  Returns None unless both lanes exist."""
+    if left_points is None or right_points is None:
+        return None
+    lane_center = (float(left_points[-1, 0]) + float(right_points[-1, 0])) / 2
+    return frame_width / 2 - lane_center
+
 
 @dataclasses.dataclass
 class HostVehicleState:

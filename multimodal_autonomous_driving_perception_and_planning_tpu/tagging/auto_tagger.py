@@ -201,6 +201,31 @@ def _frame_tags_from_device(f: int, tags: Dict[str, np.ndarray], fps: float) -> 
     )
 
 
+def get_maneuver_summary(
+    speeds: np.ndarray, accelerations: np.ndarray, positions: np.ndarray
+) -> Dict:
+    """Recent-maneuver summary (maneuver_detector.py:270-299) over stacked
+    per-frame ego history: speed stats in km/h and accel stats over the last
+    30 frames, plus total distance over the last 30 positions.  Empty dict
+    below 5 frames of history, like the reference."""
+    speeds = np.asarray(speeds, np.float64)
+    if speeds.shape[0] < 5:
+        return {}
+    recent_s = speeds[-30:]
+    recent_a = np.asarray(accelerations, np.float64)[-30:]
+    pos = np.asarray(positions, np.float64)[-30:]
+    total_dist = float(np.sum(np.linalg.norm(np.diff(pos, axis=0), axis=1))) if len(pos) >= 2 else 0.0
+    return {
+        "avg_speed_kmh": float(np.mean(recent_s)) * 3.6,
+        "max_speed_kmh": float(np.max(recent_s)) * 3.6,
+        "min_speed_kmh": float(np.min(recent_s)) * 3.6,
+        "avg_acceleration": float(np.mean(recent_a)),
+        "max_acceleration": float(np.max(recent_a)),
+        "min_acceleration": float(np.min(recent_a)),
+        "total_distance": total_dist,
+    }
+
+
 class AutoTagger:
     """Aggregator + in-memory tag search / statistics / export
     (auto_tagger.py:74-372).  Frames are ingested from device tag tensors

@@ -164,3 +164,87 @@ def test_high_risk_search_matches_tagger(pipeline_run, tmp_path):
     got = len(db.search_high_risk(limit=10_000))
     assert got == want
     db.close()
+
+
+def test_parity_helper_surface(pipeline_run):
+    """The small reference API helpers: predict_next_position,
+    get_all_trajectories, get_lane_center_offset, get_maneuver_summary,
+    set_initial_state, generate_agent_trajectories."""
+    import jax.numpy as jnp
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        generate_agent_trajectories,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.estimation import (
+        set_initial_state,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.host import (
+        get_all_trajectories,
+        get_lane_center_offset,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.tagging.auto_tagger import (
+        get_maneuver_summary,
+    )
+
+    cfg, dets, outs, T = pipeline_run
+    res = extract_frame(outs, dets, 20)
+
+    # predict_next_position: center + velocity (multi_object_tracker.py:41-47).
+    tr = res.tracks[0]
+    nx, ny = tr.predict_next_position()
+    if tr.velocity is not None:
+        np.testing.assert_allclose(
+            (nx, ny),
+            (tr.center[0] + tr.velocity[0], tr.center[1] + tr.velocity[1]),
+            atol=1e-6,
+        )
+    else:
+        assert (nx, ny) == tr.center
+
+    # get_all_trajectories mirrors :243-249 over confirmed tracks.
+    trajs = get_all_trajectories(res.tracks)
+    assert set(trajs) == {t.track_id for t in res.tracks}
+    assert trajs[tr.track_id] == tr.trajectory
+
+    # get_lane_center_offset (lane_detector.py:253-272).
+    left = np.array([[100.0, 0.0], [110.0, 480.0]])
+    right = np.array([[500.0, 0.0], [530.0, 480.0]])
+    off = get_lane_center_offset(640, left, right)
+    assert off == 640 / 2 - (110.0 + 530.0) / 2
+    assert get_lane_center_offset(640, None, right) is None
+
+    # get_maneuver_summary (maneuver_detector.py:270-299).
+    vs = outs["vehicle_state"]
+    speeds = np.asarray(vs.speed)
+    accels = np.asarray(vs.acceleration)
+    pos = np.stack([np.asarray(vs.x), np.asarray(vs.y)], axis=1)
+    summary = get_maneuver_summary(speeds, accels, pos)
+    np.testing.assert_allclose(
+        summary["avg_speed_kmh"], np.mean(speeds[-30:]) * 3.6
+    )
+    np.testing.assert_allclose(
+        summary["total_distance"],
+        np.sum(np.linalg.norm(np.diff(pos[-30:], axis=0), axis=1)),
+    )
+    assert get_maneuver_summary(speeds[:4], accels[:4], pos[:4]) == {}
+
+    # set_initial_state (vehicle_state.py:242-248).
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        initial_state,
+    )
+
+    st = initial_state(cfg)
+    ks = set_initial_state(st.kalman, 1.0, 2.0, 3.0, 4.0)
+    np.testing.assert_allclose(
+        np.asarray(ks.x), [1.0, 2.0, 3.0, 4.0, 0.0, 0.0]
+    )
+    np.testing.assert_allclose(float(ks.prev_speed), 5.0)
+    np.testing.assert_allclose(float(ks.prev_heading), np.arctan2(4.0, 3.0))
+
+    # generate_agent_trajectories (synthetic_data bytecode :221-255).
+    trajs = generate_agent_trajectories(3, 10, dt=0.1, seed=7)
+    assert set(trajs) == {0, 1, 2}
+    assert all(len(v) == 10 and len(v[0]) == 4 for v in trajs.values())
+    # Euler-consistency: x[i+1] - x[i] == vx[i+1] * dt.
+    a = np.asarray(trajs[0])
+    np.testing.assert_allclose(a[1:, 0] - a[:-1, 0], a[1:, 2] * 0.1, atol=1e-9)
