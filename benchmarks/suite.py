@@ -113,7 +113,10 @@ def bench_sequence(repeats, num_frames=300):
     )
 
 
-def bench_yolo(repeats, batch=8):
+def bench_yolo(repeats, batch=64):
+    """Streaming detection throughput: one dispatch processes a 64-frame
+    clip (bf16 convs on the MXU).  Large dispatches amortize the host
+    dispatch overhead the same way the scan runner does for the pipeline."""
     from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
         make_yolo_detector,
     )

@@ -60,11 +60,17 @@ def _make_divisible(x: float, divisor: int = 8) -> int:
 
 
 class ConvBN(nn.Module):
-    """Conv2d (no bias) + BatchNorm + SiLU — ultralytics' Conv block."""
+    """Conv2d (no bias) + BatchNorm + SiLU — ultralytics' Conv block.
+
+    ``dtype`` is the activation/compute dtype; params stay float32.  bf16
+    keeps the convs on the MXU's native input precision with fp32
+    accumulation (XLA default), the standard TPU inference recipe.
+    """
 
     features: int
     kernel: int = 1
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -75,10 +81,15 @@ class ConvBN(nn.Module):
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=True, momentum=0.97, epsilon=1e-3, name="bn"
+            use_running_average=True,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            name="bn",
         )(x)
         return nn.silu(x)
 
@@ -86,11 +97,12 @@ class ConvBN(nn.Module):
 class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = ConvBN(self.features, 3, name="cv1")(x)
-        y = ConvBN(self.features, 3, name="cv2")(y)
+        y = ConvBN(self.features, 3, dtype=self.dtype, name="cv1")(x)
+        y = ConvBN(self.features, 3, dtype=self.dtype, name="cv2")(y)
         return x + y if self.shortcut and x.shape[-1] == self.features else y
 
 
@@ -100,26 +112,32 @@ class C2f(nn.Module):
     features: int
     n: int = 1
     shortcut: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = self.features // 2
-        y = ConvBN(2 * c, 1, name="cv1")(x)
+        y = ConvBN(2 * c, 1, dtype=self.dtype, name="cv1")(x)
         parts = [y[..., :c], y[..., c:]]
         for i in range(self.n):
-            parts.append(Bottleneck(c, self.shortcut, name=f"m{i}")(parts[-1]))
-        return ConvBN(self.features, 1, name="cv2")(jnp.concatenate(parts, axis=-1))
+            parts.append(
+                Bottleneck(c, self.shortcut, dtype=self.dtype, name=f"m{i}")(parts[-1])
+            )
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(parts, axis=-1)
+        )
 
 
 class SPPF(nn.Module):
     """Spatial pyramid pooling (fast): 3 chained 5x5 max pools."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = self.features // 2
-        x = ConvBN(c, 1, name="cv1")(x)
+        x = ConvBN(c, 1, dtype=self.dtype, name="cv1")(x)
         pools = [x]
         for _ in range(3):
             pools.append(
@@ -127,7 +145,9 @@ class SPPF(nn.Module):
                     pools[-1], (5, 5), strides=(1, 1), padding=((2, 2), (2, 2))
                 )
             )
-        return ConvBN(self.features, 1, name="cv2")(jnp.concatenate(pools, axis=-1))
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, axis=-1)
+        )
 
 
 def _upsample2(x):
@@ -140,6 +160,7 @@ class DetectHead(nn.Module):
 
     num_classes: int
     channels: Sequence[int]  # per-scale input channels
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]):
@@ -147,13 +168,14 @@ class DetectHead(nn.Module):
         c3 = max(self.channels[0], min(self.num_classes, 100))
         outs = []
         for i, x in enumerate(feats):
-            box = ConvBN(c2, 3, name=f"cv2_{i}_0")(x)
-            box = ConvBN(c2, 3, name=f"cv2_{i}_1")(box)
-            box = nn.Conv(4 * REG_MAX, (1, 1), name=f"cv2_{i}_2")(box)
-            cls = ConvBN(c3, 3, name=f"cv3_{i}_0")(x)
-            cls = ConvBN(c3, 3, name=f"cv3_{i}_1")(cls)
-            cls = nn.Conv(self.num_classes, (1, 1), name=f"cv3_{i}_2")(cls)
-            outs.append((box, cls))
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x)
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box)
+            box = nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype, name=f"cv2_{i}_2")(box)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls)
+            cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name=f"cv3_{i}_2")(cls)
+            # Decode (DFL softmax, sigmoid, NMS) runs in float32.
+            outs.append((box.astype(jnp.float32), cls.astype(jnp.float32)))
         return outs
 
 
@@ -162,9 +184,11 @@ class YOLOv8(nn.Module):
 
     num_classes: int = 80
     variant: str = "n"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         depth, width, max_ch = YOLOV8_VARIANTS[self.variant]
 
         def ch(c):
@@ -174,29 +198,29 @@ class YOLOv8(nn.Module):
             return max(1, round(n * depth))
 
         # Backbone.
-        x = ConvBN(ch(64), 3, 2, name="b0")(x)  # P1/2
-        x = ConvBN(ch(128), 3, 2, name="b1")(x)  # P2/4
-        x = C2f(ch(128), nd(3), True, name="b2")(x)
-        x = ConvBN(ch(256), 3, 2, name="b3")(x)  # P3/8
-        p3 = C2f(ch(256), nd(6), True, name="b4")(x)
-        x = ConvBN(ch(512), 3, 2, name="b5")(p3)  # P4/16
-        p4 = C2f(ch(512), nd(6), True, name="b6")(x)
-        x = ConvBN(ch(1024), 3, 2, name="b7")(p4)  # P5/32
-        x = C2f(ch(1024), nd(3), True, name="b8")(x)
-        p5 = SPPF(ch(1024), name="b9")(x)
+        x = ConvBN(ch(64), 3, 2, dtype=self.dtype, name="b0")(x)  # P1/2
+        x = ConvBN(ch(128), 3, 2, dtype=self.dtype, name="b1")(x)  # P2/4
+        x = C2f(ch(128), nd(3), True, dtype=self.dtype, name="b2")(x)
+        x = ConvBN(ch(256), 3, 2, dtype=self.dtype, name="b3")(x)  # P3/8
+        p3 = C2f(ch(256), nd(6), True, dtype=self.dtype, name="b4")(x)
+        x = ConvBN(ch(512), 3, 2, dtype=self.dtype, name="b5")(p3)  # P4/16
+        p4 = C2f(ch(512), nd(6), True, dtype=self.dtype, name="b6")(x)
+        x = ConvBN(ch(1024), 3, 2, dtype=self.dtype, name="b7")(p4)  # P5/32
+        x = C2f(ch(1024), nd(3), True, dtype=self.dtype, name="b8")(x)
+        p5 = SPPF(ch(1024), dtype=self.dtype, name="b9")(x)
 
         # PAN neck.
         x = jnp.concatenate([_upsample2(p5), p4], axis=-1)
-        n4 = C2f(ch(512), nd(3), False, name="n12")(x)
+        n4 = C2f(ch(512), nd(3), False, dtype=self.dtype, name="n12")(x)
         x = jnp.concatenate([_upsample2(n4), p3], axis=-1)
-        o3 = C2f(ch(256), nd(3), False, name="n15")(x)  # P3 out
-        x = jnp.concatenate([ConvBN(ch(256), 3, 2, name="n16")(o3), n4], axis=-1)
-        o4 = C2f(ch(512), nd(3), False, name="n18")(x)  # P4 out
-        x = jnp.concatenate([ConvBN(ch(512), 3, 2, name="n19")(o4), p5], axis=-1)
-        o5 = C2f(ch(1024), nd(3), False, name="n21")(x)  # P5 out
+        o3 = C2f(ch(256), nd(3), False, dtype=self.dtype, name="n15")(x)  # P3 out
+        x = jnp.concatenate([ConvBN(ch(256), 3, 2, dtype=self.dtype, name="n16")(o3), n4], axis=-1)
+        o4 = C2f(ch(512), nd(3), False, dtype=self.dtype, name="n18")(x)  # P4 out
+        x = jnp.concatenate([ConvBN(ch(512), 3, 2, dtype=self.dtype, name="n19")(o4), p5], axis=-1)
+        o5 = C2f(ch(1024), nd(3), False, dtype=self.dtype, name="n21")(x)  # P5 out
 
         head_ch = (ch(256), ch(512), ch(1024))
-        return DetectHead(self.num_classes, head_ch, name="head")([o3, o4, o5])
+        return DetectHead(self.num_classes, head_ch, dtype=self.dtype, name="head")([o3, o4, o5])
 
 
 # ---------------------------------------------------------------------------
@@ -256,12 +280,18 @@ def make_yolo_detector(
     score_threshold: float = 0.25,
     max_det: int = 32,
     map_to_taxonomy: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
 ):
     """Build (init_fn, detect_fn) where detect_fn(params, frame_bgr_u8)
-    returns a fixed-capacity detection table in original frame coordinates."""
+    returns a fixed-capacity detection table in original frame coordinates.
+
+    ``compute_dtype`` defaults to bfloat16 — the MXU's native input
+    precision; params and the decode/NMS tail stay float32.  Pass
+    ``jnp.float32`` for full-precision parity checks.
+    """
     from ..ops.nms import nms
 
-    model = YOLOv8(num_classes=num_classes, variant=variant)
+    model = YOLOv8(num_classes=num_classes, variant=variant, dtype=compute_dtype)
 
     def init_fn(rng):
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)

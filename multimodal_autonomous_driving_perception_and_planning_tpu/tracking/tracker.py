@@ -120,46 +120,53 @@ def tracker_update(
     )
 
     # --- births: unmatched valid detections, in detection order ----------
+    # The reference consumes unmatched detections in index order, each
+    # taking the next sequential id (:214-225); slots here are allocated
+    # lowest-free-first.  Because the free-slot pool only shrinks during
+    # births, the k-th unmatched detection always lands in the k-th lowest
+    # free slot with id next_id + k — so the whole pass vectorizes as two
+    # argsort-compactions and one masked scatter (no sequential loop).
     det_matched = jnp.any(
         match[:, None] == jnp.arange(d_cap, dtype=match.dtype)[None, :], axis=0
     )
+    want = dets.valid & jnp.logical_not(det_matched)  # (D,)
+    free = table.track_id == 0  # (T,)
+    n_birth = jnp.minimum(jnp.sum(want), jnp.sum(free)).astype(jnp.int32)
 
-    def birth_body(j, tb: TrackTable) -> TrackTable:
-        want = dets.valid[j] & jnp.logical_not(det_matched[j])
-        free = tb.track_id == 0
-        slot = jnp.argmax(free)
-        do = want & jnp.any(free)
+    k_cap = min(t_cap, d_cap)
+    det_ids = jnp.arange(d_cap, dtype=jnp.int32)
+    slot_ids = jnp.arange(t_cap, dtype=jnp.int32)
+    # Stable compaction: wanted det indices ascending, then the rest.
+    det_order = jnp.argsort(jnp.where(want, det_ids, d_cap + det_ids))[:k_cap]
+    slot_order = jnp.argsort(jnp.where(free, slot_ids, t_cap + slot_ids))[:k_cap]
+    k = jnp.arange(k_cap, dtype=jnp.int32)
+    active = k < n_birth
+    # Inactive lanes scatter to index t_cap, dropped by mode="drop".
+    tgt = jnp.where(active, slot_order.astype(jnp.int32), t_cap)
+    src = det_order
 
-        center_j = det_center[j]
-        traj_row = (
-            jnp.zeros((traj_cap, 2), tb.trajectory.dtype).at[0].set(center_j)
-        )
+    b_center = det_center[src]  # (K, 2)
+    b_traj = jnp.zeros((k_cap, traj_cap, 2), table.trajectory.dtype)
+    b_traj = b_traj.at[:, 0].set(b_center)
+    zeros_k = jnp.zeros((k_cap,), jnp.int32)
 
-        def set_if(old, new):
-            return jnp.where(do, new, old)
+    def scatter(dst, values):
+        return dst.at[tgt].set(values, mode="drop")
 
-        return TrackTable(
-            track_id=tb.track_id.at[slot].set(set_if(tb.track_id[slot], tb.next_id)),
-            bbox=tb.bbox.at[slot].set(set_if(tb.bbox[slot], dets.bbox[j])),
-            class_id=tb.class_id.at[slot].set(set_if(tb.class_id[slot], dets.class_id[j])),
-            confidence=tb.confidence.at[slot].set(
-                set_if(tb.confidence[slot], dets.confidence[j])
-            ),
-            age=tb.age.at[slot].set(set_if(tb.age[slot], 0)),
-            hits=tb.hits.at[slot].set(set_if(tb.hits[slot], 1)),
-            misses=tb.misses.at[slot].set(set_if(tb.misses[slot], 0)),
-            trajectory=tb.trajectory.at[slot].set(
-                jnp.where(do, traj_row, tb.trajectory[slot])
-            ),
-            traj_len=tb.traj_len.at[slot].set(set_if(tb.traj_len[slot], 1)),
-            velocity=tb.velocity.at[slot].set(
-                set_if(tb.velocity[slot], jnp.zeros((2,), tb.velocity.dtype))
-            ),
-            vel_count=tb.vel_count.at[slot].set(set_if(tb.vel_count[slot], 0)),
-            next_id=jnp.where(do, tb.next_id + 1, tb.next_id),
-        )
-
-    table = jax.lax.fori_loop(0, d_cap, birth_body, table)
+    table = TrackTable(
+        track_id=scatter(table.track_id, table.next_id + k),
+        bbox=scatter(table.bbox, dets.bbox[src]),
+        class_id=scatter(table.class_id, dets.class_id[src]),
+        confidence=scatter(table.confidence, dets.confidence[src]),
+        age=scatter(table.age, zeros_k),
+        hits=scatter(table.hits, zeros_k + 1),
+        misses=scatter(table.misses, zeros_k),
+        trajectory=scatter(table.trajectory, b_traj),
+        traj_len=scatter(table.traj_len, zeros_k + 1),
+        velocity=scatter(table.velocity, jnp.zeros((k_cap, 2), table.velocity.dtype)),
+        vel_count=scatter(table.vel_count, zeros_k),
+        next_id=table.next_id + n_birth,
+    )
 
     # --- deaths ----------------------------------------------------------
     dead = table.alive & (table.misses > cfg.max_age)

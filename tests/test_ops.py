@@ -59,6 +59,30 @@ def test_greedy_association_matches_numpy_greedy():
             assert got[i] == want.get(i, -1), (trial, i, got, want)
 
 
+def test_greedy_association_tie_heavy_fuzz():
+    """Quantized IoUs force many exact ties; rank permutations exercise the
+    reference iteration-order tie-break.  Oracle: repeated first-max greedy
+    over rank-reordered rows (multi_object_tracker.py:137-159)."""
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        t, d = int(rng.integers(1, 40)), int(rng.integers(1, 24))
+        iou = (rng.integers(0, 5, (t, d)) / 4.0).astype(np.float32)
+        rank = rng.permutation(t).astype(np.int32)
+        # Oracle in reference order: rows sorted by rank.
+        order = np.argsort(rank)
+        m = iou[order].copy()
+        want = np.full(t, -1, np.int64)
+        while m.size and m.max() >= 0.3:
+            i, j = np.unravel_index(m.argmax(), m.shape)
+            want[order[i]] = j
+            m[i, :] = -1
+            m[:, j] = -1
+        got = np.asarray(
+            greedy_associate(jnp.asarray(iou), jnp.asarray(rank), 0.3)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=str(trial))
+
+
 def test_greedy_association_tie_break_row_major():
     # Two identical IoUs: numpy argmax picks the first in row-major order.
     iou = np.array([[0.5, 0.5], [0.5, 0.4]], np.float32)
