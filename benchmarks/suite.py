@@ -6,6 +6,8 @@
   3. YOLO-mode detection on batched 640x640 frames with TPU NMS
   4. dense traffic: 64+ concurrent tracks, batched IoU + Kalman
   5. multi-camera: 8 feeds vmapped through the full stack
+  6. frames mode: full image stack (Canny + matmul-Hough lanes + scene
+     features) per frame, scanned
 
 Run: python benchmarks/suite.py [--quick]
 """
@@ -186,6 +188,39 @@ def bench_dense_traffic(repeats, num_frames=100):
     )
 
 
+def bench_frames(repeats, num_frames=120):
+    """Video-fidelity config: the pipeline consumes real camera frames, so
+    every per-frame step runs gray/blur/Canny + two Hough passes + scene
+    features on device inside the scan."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+        make_sequence_runner,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    frames = SyntheticRoadGenerator().generate_frames(num_frames)
+    inputs = _make_inputs(num_frames)
+    inputs["frame"] = jnp.asarray(frames)
+    run = make_sequence_runner(cfg, donate=False)
+
+    def go():
+        _, outs = run(initial_state(cfg), inputs)
+        jax.block_until_ready(outs["plan_best"])
+
+    best, p50 = _time(go, repeats)
+    emit(
+        "frames_mode_fps",
+        num_frames / best,
+        "frames/s",
+        p50_ms=round(p50 * 1e3, 2),
+        us_per_frame=round(best / num_frames * 1e6, 1),
+    )
+
+
 def bench_multicamera(repeats, cams=8, num_frames=100):
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
         DEFAULT_CONFIG,
@@ -236,6 +271,7 @@ def main():
     bench_yolo(repeats)
     bench_dense_traffic(repeats)
     bench_multicamera(repeats)
+    bench_frames(repeats)
 
 
 if __name__ == "__main__":
