@@ -16,10 +16,11 @@ Parity notes:
     once at the end, which matches to +-1 LSB).
   * Median over uint8 images is computed exactly via a 256-bin histogram
     (numpy's even-count averaging included), avoiding a device-wide sort.
-  * Canny hysteresis is 8-connected BFS in OpenCV; here it is K rounds of
-    masked dilation (K configurable) — weak edges further than K pixels from
-    a strong edge along a chain are dropped.  Parity is defined at the
-    lane-fit output level (SURVEY.md section 7 hard parts).
+  * Canny hysteresis is 8-connected BFS in OpenCV; here it is masked
+    dilation iterated to fixpoint (bounded by ``hysteresis_iters`` against
+    pathological spirals), which reproduces the flood fill for all chains
+    shorter than the bound.  Parity is defined at the lane-fit output level
+    (SURVEY.md section 7 hard parts).
 """
 
 from __future__ import annotations
@@ -79,9 +80,18 @@ def median_u8(img: jnp.ndarray) -> jnp.ndarray:
     middle order statistics), as used for the adaptive Canny thresholds
     (lane_detector.py:79).
     """
-    flat = img.reshape(-1)
+    flat = jnp.clip(img.reshape(-1), 0, 255)
     n = flat.shape[0]
-    hist = jnp.zeros((256,), jnp.int32).at[jnp.clip(flat, 0, 255)].add(1)
+    # Histogram as a radix one-hot matmul (scatter-add is TPU-hostile):
+    # value v = hi*16 + lo, hist[hi, lo] = sum_p [hi_p==hi][lo_p==lo] on the
+    # MXU.  bf16 one-hots are exact 0/1; f32 accumulation is exact counts.
+    hi = (flat >> 4).astype(jnp.int32)
+    lo = (flat & 15).astype(jnp.int32)
+    oh_hi = (hi[:, None] == jnp.arange(16)).astype(jnp.bfloat16)
+    oh_lo = (lo[:, None] == jnp.arange(16)).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "nh,nl->hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    ).reshape(256).astype(jnp.int32)
     cdf = jnp.cumsum(hist)
     k_lo = (n - 1) // 2  # 0-based index of lower middle
     k_hi = n // 2
@@ -118,7 +128,7 @@ def canny(
     gray: jnp.ndarray,
     low: jnp.ndarray,
     high: jnp.ndarray,
-    hysteresis_iters: int = 16,
+    hysteresis_iters: int = 64,
 ) -> jnp.ndarray:
     """Canny edge map (L1 gradient, like cv2.Canny's default).
 
@@ -126,7 +136,8 @@ def canny(
       gray: (H, W) uint8-valued image (already blurred by the caller if the
         reference path blurs — lane_detector blurs, scene_classifier does not).
       low/high: scalar thresholds (may be traced values).
-      hysteresis_iters: rounds of strong-edge dilation through the weak mask.
+      hysteresis_iters: upper bound on strong-edge propagation rounds
+        (the loop exits at fixpoint, usually after a handful of rounds).
 
     Returns (H, W) bool edge map.
     """
@@ -184,10 +195,23 @@ def canny(
                     out = out | shift(m, di, dj)
         return out
 
-    def body(_, s):
-        return dilate(s) & weak | s
+    # Strong-edge propagation through the weak mask until fixpoint
+    # (cv2's hysteresis is a full flood fill; iterating to convergence is
+    # exact and typically terminates in a handful of rounds, so the
+    # while_loop is both more faithful and cheaper than a fixed cap).
+    # ``hysteresis_iters`` bounds pathological spirals.
+    def cond(carry):
+        _, changed, i = carry
+        return changed & (i < hysteresis_iters)
 
-    edges = jax.lax.fori_loop(0, hysteresis_iters, body, strong)
+    def body(carry):
+        s, _, i = carry
+        grown = dilate(s) & weak | s
+        return grown, jnp.any(grown != s), i + 1
+
+    edges, _, _ = jax.lax.while_loop(
+        cond, body, (strong, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    )
     return edges
 
 
