@@ -63,14 +63,33 @@ def nms(
         iou_boxes = top_boxes
     iou = pairwise_iou(iou_boxes, iou_boxes)  # (k, k)
 
-    # top_k returns scores descending, so candidate i can only be suppressed
-    # by a *kept* candidate j < i with IoU > threshold.  Sequential greedy:
-    def body(i, keep):
-        suppressors = keep & (jnp.arange(k) < i) & (iou[i] > iou_threshold)
-        keep_i = alive[i] & jnp.logical_not(jnp.any(suppressors))
-        return keep.at[i].set(keep_i)
+    # top_k returns scores descending, so candidate j can only be suppressed
+    # by a *kept* candidate i < j with IoU > threshold.  The greedy keep
+    # vector is the unique fixpoint of the antitone operator
+    #   f(keep)_j = alive_j & not any_i (keep_i & S_ij),
+    # with S_ij = (i < j) & (iou_ij > thr).  Iterating f from keep = alive
+    # stabilizes decisions in score order (one suppression-chain level per
+    # round), reaching the exact sequential-greedy result in ~chain-depth
+    # rounds instead of a k-iteration serial loop; each round is one
+    # (k x k) masked any-reduction on the VPU.
+    rng_k = jnp.arange(k)
+    S = (iou > iou_threshold) & (rng_k[:, None] < rng_k[None, :])  # (k, k)
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    def f(keep):
+        return alive & jnp.logical_not(jnp.any(S & keep[:, None], axis=0))
+
+    def cond(carry):
+        keep, nxt, it = carry
+        return jnp.any(keep != nxt) & (it < k)
+
+    def body(carry):
+        _, keep, it = carry
+        return keep, f(keep), it + 1
+
+    keep0 = alive
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (keep0, f(keep0), jnp.asarray(0, jnp.int32))
+    )
 
     # Compact the survivors (score order preserved) into max_det slots.
     kept_scores = jnp.where(keep, top_scores, -1.0)

@@ -180,3 +180,26 @@ def test_yolo_stream_feeds_pipeline():
     run = make_sequence_runner(cfg, donate=False)
     _, outs = run(initial_state(cfg), inputs)
     assert np.asarray(outs["plan_best"]).shape == (6,)
+
+
+def test_nms_suppression_chain_fixpoint():
+    """A chain a>b>c>d... where each suppresses the next forces multiple
+    fixpoint rounds (kept, suppressed, kept, suppressed...)."""
+    n = 12
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        boxes[i] = [i * 5.0, 0.0, i * 5.0 + 10.0, 10.0]  # 50% overlap chain
+    scores = np.linspace(0.95, 0.5, n).astype(np.float32)
+    classes = np.zeros(n, np.int32)
+    want = oracle_nms(boxes, scores, classes, iou_t=0.3)
+    got = nms(
+        jnp.asarray(boxes),
+        jnp.asarray(scores),
+        jnp.asarray(classes),
+        iou_threshold=0.3,
+        max_det=n,
+        pre_topk=n,
+    )
+    got_boxes = np.asarray(got.boxes)[np.asarray(got.valid)]
+    np.testing.assert_allclose(got_boxes, boxes[want], atol=1e-3)
+    assert len(want) == (n + 1) // 2  # alternating keep pattern
