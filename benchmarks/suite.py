@@ -1,13 +1,27 @@
 #!/usr/bin/env python
 """Benchmark suite: one JSON line per BASELINE.json config.
 
-  1. single synthetic frame, fused step latency (p50)
+  1. single synthetic frame, fused step latency (host-observed p50)
   2. 300-frame scanned sequence, frames/s/chip  (== bench.py headline)
   3. YOLO-mode detection on batched 640x640 frames with TPU NMS
   4. dense traffic: 64+ concurrent tracks, batched IoU + Kalman
   5. multi-camera: 8 feeds vmapped through the full stack
   6. frames mode: full image stack (Canny + matmul-Hough lanes + scene
      features) per frame, scanned
+
+Measurement methodology (tunnel-attached TPU runtimes are hostile to naive
+timing):
+
+  * Every benchmark's jitted function folds a fresh **nonce** scalar into
+    the computation and returns a device-side scalar **digest** of its
+    outputs.  Timing ends at ``float(digest)`` — a forced device->host
+    readback.  This defeats async dispatch that resolves
+    ``block_until_ready`` early and any same-arguments result caching,
+    both observed on this runtime.
+  * The tunnel costs ~30-40 ms per dispatch that carries a fresh host
+    value (the nonce).  Workloads are sized (``reps`` inner repetitions
+    inside one jitted call) so steady-state compute dominates that floor;
+    the floor itself is measured and reported as ``dispatch_floor_ms``.
 
 Run: python benchmarks/suite.py [--quick]
 """
@@ -33,21 +47,106 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
-def _time(fn, repeats):
-    fn()  # compile + warm
+def _time_digest(fn, *args, repeats=10):
+    """min/median wall time of ``float(fn(nonce, *args))`` over repeats.
+
+    ``fn`` must be jitted, take the nonce as its first argument, and return
+    a scalar that depends on every output of interest.
+    """
+    float(fn(jnp.float32(0.0), *args))  # compile + warm
     times = []
-    for _ in range(repeats):
+    for i in range(repeats):
+        nonce = jnp.float32(1e-7 * (i + 1))
         t0 = time.perf_counter()
-        fn()
+        float(fn(nonce, *args))
         times.append(time.perf_counter() - t0)
     return float(np.min(times)), float(np.median(times))
+
+
+def measure_dispatch_floor(repeats=10):
+    """The tunnel's fixed cost: a trivial program with a fresh nonce."""
+    f = jax.jit(lambda nonce: nonce + 1.0)
+    best, p50 = _time_digest(f, repeats=repeats)
+    return best, p50
 
 
 def emit(name, value, unit, **extra):
     print(json.dumps({"metric": name, "value": round(value, 2), "unit": unit, **extra}))
 
 
+def _tree_digest(tree):
+    leaves = [
+        jnp.sum(x.astype(jnp.float32)) if x.dtype != jnp.float32 else jnp.sum(x)
+        for x in jax.tree_util.tree_leaves(tree)
+        if hasattr(x, "dtype")
+    ]
+    return jnp.sum(jnp.stack(leaves)) if leaves else jnp.float32(0.0)
+
+
+def _pipeline_inputs(num_frames, capacity=16, dets=None):
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        ego_motion_stream,
+        simulated_detection_stream,
+    )
+
+    dets = dets or simulated_detection_stream(num_frames, capacity=capacity)
+    ego = ego_motion_stream(num_frames, dt=1.0 / 30.0, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    return jax.device_put(inputs)
+
+
+def _scan_bench_fn(cfg, reps):
+    """Jitted fn: run the sequence scan ``reps`` times, digest all outputs.
+
+    The nonce perturbs the ego measurements by <=1e-7 m (far below every
+    decision threshold) so each call is a distinct computation.
+    """
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        initial_state,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.pipeline import (
+        make_pipeline_step,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.types import (
+        Detections,
+    )
+
+    step = make_pipeline_step(cfg)
+    state0 = initial_state(cfg)
+
+    def fn(nonce, inputs):
+        det = Detections(
+            bbox=inputs["bbox"],
+            class_id=inputs["class_id"],
+            confidence=inputs["confidence"],
+            valid=inputs["valid"],
+        )
+        def one_rep(carry, _):
+            digest_in, _ = carry
+            # Chain each rep on the previous digest (a 1e-30-scaled term the
+            # compiler cannot prove is a no-op) so XLA cannot hoist the
+            # loop-invariant scan out and run it once.
+            scan_in = {
+                "detections": det,
+                "ego_measurement": inputs["ego_measurement"]
+                + nonce
+                + digest_in * 1e-30,
+            }
+            if "frame" in inputs:
+                scan_in["frame"] = inputs["frame"]
+            final, outs = jax.lax.scan(step, state0, scan_in)
+            return (digest_in + _tree_digest(outs), 0), None
+
+        (digest, _), _ = jax.lax.scan(one_rep, (nonce, 0), None, length=reps)
+        return digest
+
+    return jax.jit(fn)
+
+
 def bench_single_step(repeats):
+    """Host-observed latency of one fused step dispatch (includes the
+    tunnel's per-dispatch floor — see dispatch_floor_ms for the floor)."""
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
         DEFAULT_CONFIG,
         initial_state,
@@ -61,78 +160,67 @@ def bench_single_step(repeats):
     )
 
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
-    step = jax.jit(make_pipeline_step(cfg))
+    step = make_pipeline_step(cfg)
     state = initial_state(cfg)
     frame0 = {k: v[0] for k, v in simulated_detection_stream(1).items()}
-    inputs = {
-        "detections": detections_from_arrays(frame0),
-        "ego_measurement": jnp.asarray([0.33, 0.0, 10.0, 0.0], jnp.float32),
-    }
+    dets = detections_from_arrays(frame0)
+    ego = jnp.asarray([0.33, 0.0, 10.0, 0.0], jnp.float32)
 
-    def run():
-        s, out = step(state, inputs)
-        jax.block_until_ready(out["plan_best"])
+    def fn(nonce, state, dets, ego):
+        s, out = step(state, {"detections": dets, "ego_measurement": ego + nonce})
+        return _tree_digest(out)
 
-    best, p50 = _time(run, repeats)
-    emit("single_frame_step_latency_p50", p50 * 1e6, "us", best_us=round(best * 1e6, 1))
-
-
-def _make_inputs(num_frames, capacity=16, dets=None):
-    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
-        ego_motion_stream,
-        simulated_detection_stream,
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, state, dets, ego, repeats=repeats)
+    emit(
+        "single_frame_step_latency_p50",
+        p50 * 1e6,
+        "us",
+        best_us=round(best * 1e6, 1),
+        note="host-observed incl. tunnel dispatch floor",
     )
 
-    dets = dets or simulated_detection_stream(num_frames, capacity=capacity)
-    ego = ego_motion_stream(num_frames, dt=1.0 / 30.0, seed=0)
-    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
-    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
-    return jax.device_put(inputs)
 
-
-def bench_sequence(repeats, num_frames=300):
+def bench_sequence(repeats, num_frames=300, reps=20):
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
         DEFAULT_CONFIG,
-        initial_state,
-        make_sequence_runner,
     )
 
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
-    run = make_sequence_runner(cfg, donate=False)
-    inputs = _make_inputs(num_frames)
-
-    def go():
-        _, outs = run(initial_state(cfg), inputs)
-        jax.block_until_ready(outs["plan_best"])
-
-    best, p50 = _time(go, repeats)
+    inputs = _pipeline_inputs(num_frames)
+    f = _scan_bench_fn(cfg, reps)
+    best, p50 = _time_digest(f, inputs, repeats=repeats)
+    total = num_frames * reps
     emit(
         "e2e_frames_per_sec_per_chip",
-        num_frames / best,
+        total / best,
         "frames/s",
-        p50_ms=round(p50 * 1e3, 2),
-        vs_baseline=round(num_frames / best / 45.2, 2),
+        p50_ms_per_300f=round(p50 / reps * 1e3, 3),
+        vs_baseline=round(total / best / 45.2, 2),
+        frames_per_call=total,
     )
 
 
 def bench_yolo(repeats, batch=64):
     """Streaming detection throughput: one dispatch processes a 64-frame
-    clip (bf16 convs on the MXU).  Large dispatches amortize the host
-    dispatch overhead the same way the scan runner does for the pipeline."""
+    clip (bf16 convs on the MXU) of incompressible (random) frames."""
     from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
         make_yolo_detector,
     )
 
     init_fn, detect_fn = make_yolo_detector(max_det=32)
     variables = init_fn(jax.random.PRNGKey(0))
-    frames = jnp.zeros((batch, 640, 640, 3), jnp.float32)
-    vdetect = jax.jit(jax.vmap(lambda f: detect_fn(variables, f)))
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3)).astype(np.float32))
+    )
 
-    def go():
-        out = vdetect(frames)
-        jax.block_until_ready(out["bbox"])
+    def fn(nonce, variables, frames):
+        out = jax.vmap(detect_fn, in_axes=(None, 0))(variables, frames + nonce)
+        return _tree_digest(out)
 
-    best, p50 = _time(go, repeats)
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, variables, frames, repeats=repeats)
     emit(
         "yolov8n_detect_fps_640",
         batch / best,
@@ -142,11 +230,9 @@ def bench_yolo(repeats, batch=64):
     )
 
 
-def bench_dense_traffic(repeats, num_frames=100):
+def bench_dense_traffic(repeats, num_frames=300, reps=10):
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
         DEFAULT_CONFIG,
-        initial_state,
-        make_sequence_runner,
     )
 
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
@@ -171,57 +257,20 @@ def bench_dense_traffic(repeats, num_frames=100):
         "confidence": np.full((T, D), 0.9, np.float32),
         "valid": np.ones((T, D), bool),
     }
-    run = make_sequence_runner(cfg, donate=False)
-    inputs = _make_inputs(T, dets=dets)
-
-    def go():
-        _, outs = run(initial_state(cfg), inputs)
-        jax.block_until_ready(outs["plan_best"])
-
-    best, p50 = _time(go, repeats)
+    inputs = _pipeline_inputs(T, dets=dets)
+    f = _scan_bench_fn(cfg, reps)
+    best, p50 = _time_digest(f, inputs, repeats=repeats)
+    total = T * reps
     emit(
         "dense_traffic_64agents_fps",
-        T / best,
+        total / best,
         "frames/s",
         tracks=64,
-        p50_ms=round(p50 * 1e3, 2),
+        p50_ms_per_300f=round(p50 / reps * 1e3, 3),
     )
 
 
-def bench_frames(repeats, num_frames=120):
-    """Video-fidelity config: the pipeline consumes real camera frames, so
-    every per-frame step runs gray/blur/Canny + two Hough passes + scene
-    features on device inside the scan."""
-    from multimodal_autonomous_driving_perception_and_planning_tpu import (
-        DEFAULT_CONFIG,
-        initial_state,
-        make_sequence_runner,
-    )
-    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
-        SyntheticRoadGenerator,
-    )
-
-    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
-    frames = SyntheticRoadGenerator().generate_frames(num_frames)
-    inputs = _make_inputs(num_frames)
-    inputs["frame"] = jnp.asarray(frames)
-    run = make_sequence_runner(cfg, donate=False)
-
-    def go():
-        _, outs = run(initial_state(cfg), inputs)
-        jax.block_until_ready(outs["plan_best"])
-
-    best, p50 = _time(go, repeats)
-    emit(
-        "frames_mode_fps",
-        num_frames / best,
-        "frames/s",
-        p50_ms=round(p50 * 1e3, 2),
-        us_per_frame=round(best / num_frames * 1e6, 1),
-    )
-
-
-def bench_multicamera(repeats, cams=8, num_frames=100):
+def bench_multicamera(repeats, cams=8, num_frames=300, reps=5):
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
         DEFAULT_CONFIG,
     )
@@ -236,25 +285,65 @@ def bench_multicamera(repeats, cams=8, num_frames=100):
     mesh = make_camera_mesh(n_dev)
     runner = make_multicamera_runner(cfg, mesh)
     states = stack_states(cfg, cams)
-    one = _make_inputs(num_frames)
+    one = _pipeline_inputs(num_frames)
 
     def rep(x):
         return jnp.broadcast_to(x, (cams,) + x.shape)
 
     inputs = {k: rep(v) for k, v in one.items()}
 
-    def go():
-        _, outs, fleet = runner(states, inputs)
-        jax.block_until_ready(fleet["fleet_confirmed_per_frame"])
+    def fn(nonce, states, inputs):
+        def one_rep(carry, _):
+            digest_in, _ = carry
+            perturbed = dict(inputs)
+            # Chain reps on the running digest so XLA cannot hoist the
+            # loop-invariant runner call out of the rep loop.
+            perturbed["ego_measurement"] = (
+                inputs["ego_measurement"] + nonce + digest_in * 1e-30
+            )
+            _, outs, fleet = runner(states, perturbed)
+            d = _tree_digest(outs) + _tree_digest(fleet)
+            return (digest_in + d, 0), None
 
-    best, p50 = _time(go, repeats)
+        (digest, _), _ = jax.lax.scan(one_rep, (nonce, 0), None, length=reps)
+        return digest
+
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, states, inputs, repeats=repeats)
+    total = cams * num_frames * reps
     emit(
         "multicamera_8feed_agg_fps",
-        cams * num_frames / best,
+        total / best,
         "frames/s",
         cameras=cams,
         devices=n_dev,
-        p50_ms=round(p50 * 1e3, 2),
+        p50_ms_per_300f=round(p50 / reps * 1e3, 3),
+    )
+
+
+def bench_frames(repeats, num_frames=120, reps=3):
+    """Video-fidelity config: the pipeline consumes real camera frames, so
+    every per-frame step runs gray/blur/Canny + two Hough passes + scene
+    features on device inside the scan."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    frames = SyntheticRoadGenerator().generate_frames(num_frames)
+    inputs = _pipeline_inputs(num_frames)
+    inputs["frame"] = jax.device_put(jnp.asarray(frames))
+    f = _scan_bench_fn(cfg, reps)
+    best, p50 = _time_digest(f, inputs, repeats=repeats)
+    total = num_frames * reps
+    emit(
+        "frames_mode_fps",
+        total / best,
+        "frames/s",
+        us_per_frame=round(best / total * 1e6, 1),
     )
 
 
@@ -266,6 +355,12 @@ def main():
 
     _setup_cache()
     print(f"# device: {jax.devices()}", flush=True)
+    floor_best, floor_p50 = measure_dispatch_floor(repeats)
+    print(
+        f"# dispatch_floor_ms: best={floor_best*1e3:.2f} p50={floor_p50*1e3:.2f}"
+        " (tunnel cost of any dispatch carrying a fresh host value)",
+        flush=True,
+    )
     bench_single_step(repeats)
     bench_sequence(repeats)
     bench_yolo(repeats)

@@ -298,11 +298,14 @@ def make_yolo_detector(
         return model.init(rng, dummy)
 
     if map_to_taxonomy:
+        # Kept as a numpy host constant; converted inside detect_fn so it
+        # bakes into the HLO at trace time (a closure-captured device array
+        # degrades every later dispatch on tunnel-attached TPU runtimes).
         coco_ids = np.full((num_classes,), -1, np.int32)
         for coco, tax in COCO_TO_TAXONOMY.items():
             if coco < num_classes:
                 coco_ids[coco] = tax
-        taxonomy_map = jnp.asarray(coco_ids)
+        taxonomy_map = coco_ids
 
     def detect_fn(variables, frame_bgr: jnp.ndarray):
         rgb = frame_bgr[..., ::-1].astype(jnp.float32)
@@ -327,7 +330,7 @@ def make_yolo_detector(
         valid = res.valid
         classes = res.classes
         if map_to_taxonomy:
-            mapped = taxonomy_map[classes]
+            mapped = jnp.asarray(taxonomy_map)[classes]
             valid = valid & (mapped >= 0)
             classes = jnp.maximum(mapped, 0)
         return {

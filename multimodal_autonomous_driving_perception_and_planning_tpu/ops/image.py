@@ -237,26 +237,29 @@ def laplacian_variance(gray: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def trapezoid_roi_mask(height: int, width: int) -> jnp.ndarray:
+def trapezoid_roi_mask(height: int, width: int):
     """The default front-camera trapezoid (lane_detector.py:55-60):
     (0.1w, h) - (0.4w, 0.6h) - (0.6w, 0.6h) - (0.9w, h), filled.
 
     Rasterized with half-plane tests; matches cv2.fillPoly to within the
-    boundary pixel.
+    boundary pixel.  Returns a *host* (numpy) bool mask: the mask is closed
+    over by jitted lane steps, and numpy constants bake into the HLO at
+    trace time, whereas a captured device array degrades every dispatch in
+    the process on tunnel-attached TPU runtimes.
     """
-    v = jnp.asarray(
+    import numpy as np
+
+    v = np.asarray(
         [
             [int(width * 0.1), height],
             [int(width * 0.4), int(height * 0.6)],
             [int(width * 0.6), int(height * 0.6)],
             [int(width * 0.9), height],
         ],
-        jnp.float32,
+        np.float32,
     )
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32)
-    mask = jnp.ones((height, width), bool)
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
+    mask = np.ones((height, width), bool)
     n = 4
     for i in range(n):
         x1, y1 = v[i]

@@ -19,10 +19,10 @@ import jax.numpy as jnp
 
 
 class KalmanModel(NamedTuple):
-    F: jnp.ndarray  # (S, S) state transition
-    H: jnp.ndarray  # (M, S) measurement
-    Q: jnp.ndarray  # (S, S) process noise
-    R: jnp.ndarray  # (M, M) measurement noise
+    F: "np.ndarray"  # (S, S) state transition (host constant; see below)
+    H: "np.ndarray"  # (M, S) measurement
+    Q: "np.ndarray"  # (S, S) process noise
+    R: "np.ndarray"  # (M, M) measurement noise
 
 
 def make_constant_accel_model(
@@ -33,9 +33,19 @@ def make_constant_accel_model(
     dtype=jnp.float32,
 ) -> KalmanModel:
     """Constant-acceleration model over state [x, y, vx, vy, ax, ay] with
-    measurements [x, y, vx, vy] (vehicle_state.py:75-98)."""
+    measurements [x, y, vx, vy] (vehicle_state.py:75-98).
+
+    Returns *host* (numpy) arrays on purpose: the model is closed over by
+    jitted step functions, and a closure-captured device array makes every
+    dispatch in the process take ~30 ms on tunnel-attached TPU runtimes
+    (jit hoists it into a per-call transferred constant).  numpy constants
+    bake into the HLO at trace time instead.
+    """
+    import numpy as np
+
+    npdtype = np.dtype(jnp.dtype(dtype).name)
     h = 0.5 * dt * dt
-    F = jnp.array(
+    F = np.array(
         [
             [1, 0, dt, 0, h, 0],
             [0, 1, 0, dt, 0, h],
@@ -44,13 +54,15 @@ def make_constant_accel_model(
             [0, 0, 0, 0, 1, 0],
             [0, 0, 0, 0, 0, 1],
         ],
-        dtype=dtype,
+        dtype=npdtype,
     )
-    H = jnp.zeros((4, 6), dtype=dtype).at[jnp.arange(4), jnp.arange(4)].set(1)
-    q = jnp.ones((6,), dtype=dtype) * process_noise
-    q = q.at[4].mul(accel_noise_scale).at[5].mul(accel_noise_scale)
-    Q = jnp.diag(q)
-    R = jnp.eye(4, dtype=dtype) * measurement_noise
+    H = np.zeros((4, 6), dtype=npdtype)
+    H[np.arange(4), np.arange(4)] = 1
+    q = np.ones((6,), dtype=npdtype) * process_noise
+    q[4] *= accel_noise_scale
+    q[5] *= accel_noise_scale
+    Q = np.diag(q).astype(npdtype)
+    R = (np.eye(4) * measurement_noise).astype(npdtype)
     return KalmanModel(F=F, H=H, Q=Q, R=R)
 
 

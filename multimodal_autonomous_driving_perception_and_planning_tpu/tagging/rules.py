@@ -30,6 +30,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PipelineConfig
 from ..types import Detections, LaneObservation, TaggingState, TrackTable, VehicleState
@@ -67,7 +68,9 @@ RISKS = ("low", "medium", "high", "critical")
 # Rank of each risk in *descending string order* (the reference's sort quirk):
 # "medium" > "low" > "high" > "critical" alphabetically, so a bigger rank
 # sorts earlier.  Indexed by (low, medium, high, critical).
-_RISK_DESC_STRING_RANK = jnp.asarray([2, 3, 1, 0])
+# Host constant: bakes into HLO at trace time (a captured device array
+# would degrade every dispatch in the process on tunnel-attached TPUs).
+_RISK_DESC_STRING_RANK = np.asarray([2, 3, 1, 0])
 
 # Detection class ids (detector.py:39-48).
 _CAR, _TRUCK, _PED, _CYC, _MOTO, _BUS, _TLIGHT, _SSIGN = range(8)
@@ -481,7 +484,7 @@ def make_tagging_step(cfg: PipelineConfig):
 
         # Primary interaction: the reference's descending *string* sort on
         # (risk, -confidence), stable by confirmed order (ascending id).
-        desc_rank = _RISK_DESC_STRING_RANK[irisk]  # bigger = sorts first
+        desc_rank = jnp.asarray(_RISK_DESC_STRING_RANK)[irisk]  # bigger = sorts first
         elig = has_int
         any_int = jnp.any(elig)
         m1 = jnp.max(jnp.where(elig, desc_rank, -1))
