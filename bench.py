@@ -48,7 +48,11 @@ def main():
         DEFAULT_CONFIG,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    # Match the reference headline's configuration: demo.py runs
+    # detect->track->estimate->plan with NO tagging (SURVEY.md L7 — tagging
+    # only runs in the Streamlit app).  benchmarks/suite.py reports the
+    # tagging-on variant separately.
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
     inputs = _pipeline_inputs(NUM_FRAMES)
     f = _scan_bench_fn(cfg, REPS)
 

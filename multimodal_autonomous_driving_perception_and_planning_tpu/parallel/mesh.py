@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
-from ..pipeline import initial_state, make_pipeline_step
+from ..pipeline import initial_state, make_pipeline_step, pack_tree, unpack_tree
 from ..types import Detections, PipelineState
 
 
@@ -54,6 +54,16 @@ def make_multicamera_runner(cfg: PipelineConfig, mesh: Mesh):
     """
     axis = mesh.axis_names[0]
     step = make_pipeline_step(cfg)
+    spec_cell: list = []
+
+    def body(carry, xs):
+        # Pack per-frame outputs so the scan stacks ~8 arrays, not ~40
+        # (each stacked array costs one dynamic-update-slice per frame).
+        new_state, out = step(carry, xs)
+        packed, spec = pack_tree(out)
+        if not spec_cell:
+            spec_cell.append(spec)
+        return new_state, packed
 
     def per_camera_scan(state, inputs):
         det = Detections(
@@ -65,8 +75,8 @@ def make_multicamera_runner(cfg: PipelineConfig, mesh: Mesh):
         scan_in = {"detections": det, "ego_measurement": inputs["ego_measurement"]}
         if "frame" in inputs:
             scan_in["frame"] = inputs["frame"]
-        final, outs = jax.lax.scan(step, state, scan_in)
-        return final, outs
+        final, packed = jax.lax.scan(body, state, scan_in)
+        return final, unpack_tree(packed, spec_cell[0])
 
     def shard_fn(state, inputs):
         # Local camera chunk: vmap the scan over cameras on this device.

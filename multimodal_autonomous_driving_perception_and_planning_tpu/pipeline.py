@@ -166,13 +166,91 @@ def make_pipeline_step(cfg: PipelineConfig):
     return step
 
 
+def pack_tree(tree):
+    """Compact a pytree of per-frame outputs into a few packed arrays.
+
+    Each array stacked by `lax.scan` costs one dynamic-update-slice per
+    iteration (~1.4 us/frame each on TPU), so the raw ~40-leaf output dict
+    spends far more time stacking than computing.  Grouping leaves —
+    scalars by dtype into one vector, (N, ...) arrays by (N, dtype) into
+    one (N, K) matrix — cuts the per-frame slice count to ~8.  ``unpack``
+    restores the exact original pytree by slicing the *stacked* arrays once
+    after the scan, which is O(1) ops per group instead of per frame.
+
+    Returns (packed: list of arrays, spec) — spec is static Python data.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups: Dict[Any, list] = {}
+    for i, leaf in enumerate(leaves):
+        if leaf.ndim == 0:
+            key = ("scalar", jnp.dtype(leaf.dtype).name)
+        else:
+            key = ("array", int(leaf.shape[0]), jnp.dtype(leaf.dtype).name)
+        groups.setdefault(key, []).append(i)
+
+    packed = []
+    spec_groups = []
+    for key in sorted(groups, key=repr):
+        idxs = groups[key]
+        members = []
+        if key[0] == "scalar":
+            packed.append(jnp.stack([leaves[i] for i in idxs]))
+            members = [(i, ()) for i in idxs]
+        else:
+            n = key[1]
+            cols = []
+            for i in idxs:
+                leaf = leaves[i]
+                trailing = leaf.shape[1:]
+                cols.append(leaf.reshape(n, -1))
+                members.append((i, tuple(trailing)))
+            packed.append(jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0])
+        spec_groups.append((key, members))
+    return packed, (treedef, spec_groups, len(leaves))
+
+
+def unpack_tree(packed, spec):
+    """Inverse of `pack_tree` for arrays carrying an extra leading (time)
+    axis added by `lax.scan` stacking."""
+    treedef, spec_groups, n_leaves = spec
+    leaves = [None] * n_leaves
+    for arr, (key, members) in zip(packed, spec_groups):
+        if key[0] == "scalar":
+            for j, (i, _) in enumerate(members):
+                leaves[i] = arr[..., j]
+        else:
+            n = key[1]
+            off = 0
+            for i, trailing in members:
+                width = 1
+                for d in trailing:
+                    width *= d
+                piece = arr[..., off : off + width]
+                leaves[i] = piece.reshape(arr.shape[:-2] + (n,) + trailing)
+                off += width
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def make_sequence_runner(cfg: PipelineConfig, donate: bool = True):
     """Build a jitted runner that scans the pipeline over a whole sequence.
 
     ``inputs`` is a dict of time-stacked arrays: detections (T, D, ...) as
     raw arrays, ego_measurements (T, 4), optional frames (T, H, W, 3).
+
+    Internally the per-frame outputs are packed (see `pack_tree`) so the
+    scan stacks ~8 arrays instead of ~40; the returned ``outs`` dict has
+    the same structure as `make_pipeline_step`'s output with a leading
+    time axis.
     """
     step = make_pipeline_step(cfg)
+    spec_cell: list = []
+
+    def body(carry, xs):
+        new_state, out = step(carry, xs)
+        packed, spec = pack_tree(out)
+        if not spec_cell:
+            spec_cell.append(spec)
+        return new_state, packed
 
     def run(state: PipelineState, inputs: Dict[str, Any]):
         det_tables = Detections(
@@ -188,10 +266,8 @@ def make_sequence_runner(cfg: PipelineConfig, donate: bool = True):
         if "frame" in inputs:
             scan_inputs["frame"] = inputs["frame"]
 
-        def body(carry, xs):
-            return step(carry, xs)
-
-        final, outs = jax.lax.scan(body, state, scan_inputs)
+        final, packed_outs = jax.lax.scan(body, state, scan_inputs)
+        outs = unpack_tree(packed_outs, spec_cell[0])
         return final, outs
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())
