@@ -7,8 +7,8 @@ reproducible and cannot anchor a parity contract.  SURVEY.md section 7 directs
 pinning it with a deterministic extractor; this module implements the dense
 (standard) Hough transform:
 
-  1. Edge pixels are compacted to a fixed-capacity list (top_k — ties keep
-     row-major order, deterministic).
+  1. Edge pixels are compacted to a fixed-capacity list in row-major scan
+     order (hierarchical block compaction — see `compact_mask`).
   2. Votes are accumulated over a (theta, rho) grid.
   3. Peaks = local maxima above the vote threshold (3x3 accumulator NMS).
   4. Each peak line is reconstructed into one segment by projecting its
@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class HoughLines(NamedTuple):
@@ -36,16 +37,58 @@ class HoughLines(NamedTuple):
     length: jnp.ndarray  # (L,) float32
 
 
-def compact_edges(edges: jnp.ndarray, capacity: int):
-    """(H, W) bool -> fixed-size (x, y, valid) edge-pixel list.
+def compact_mask(flat: jnp.ndarray, capacity: int):
+    """Indices of the first ``capacity`` set bits of a flat bool mask, in
+    ascending (row-major) order.
 
-    Uses top_k on the flattened mask; ties (all edges are 1.0) keep ascending
-    flat index, i.e. row-major scan order.
+    ``lax.top_k`` over the 307K-pixel mask is a full sort (~430 us/frame on
+    TPU) — the dominant Hough cost.  This hierarchical compaction is pure
+    cumsum/gather: block the mask into 128-lane rows, exclusive-scan the
+    block counts, locate each output's block with a (capacity x n_blocks)
+    comparison count, then pick the rank-th set lane from the gathered
+    block row via an in-row prefix sum.  Identical selection semantics to
+    top_k with tie-by-index (the set bits all compare equal).
+
+    Returns (idx (capacity,) int32, valid (capacity,) bool).
     """
+    n = flat.shape[0]
+    B = 128
+    pad = (-n) % B
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    blocks = flat.reshape(-1, B).astype(jnp.int32)  # (nb, B)
+    counts = jnp.sum(blocks, axis=1)  # (nb,)
+    offs = jnp.cumsum(counts) - counts  # exclusive prefix
+    total = jnp.sum(counts)
+
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    # Block containing the k-th set bit: number of blocks fully before it.
+    blk = jnp.sum((offs[None, :] <= k[:, None]).astype(jnp.int32), axis=1) - 1
+    blk = jnp.maximum(blk, 0)
+    r = k - offs[blk]  # rank within block
+    rows = blocks[blk]  # (capacity, B) row gather
+    # In-row inclusive prefix sum as a matmul with upper-triangular ones:
+    # a lane-axis cumsum lowers to a serial in-lane scan (~245 us/frame at
+    # this size); one (capacity, B) x (B, B) bf16 MXU pass is exact for
+    # 0/1 rows (prefix <= B = 128 < bf16's 256 exact-integer range).
+    tri = jnp.asarray(np.triu(np.ones((B, B), np.float32)), jnp.bfloat16)
+    prefix = jnp.einsum(
+        "kb,bc->kc",
+        rows.astype(jnp.bfloat16),
+        tri,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    lane = jnp.argmax((prefix == (r[:, None] + 1)) & (rows > 0), axis=1)
+    idx = blk * B + lane.astype(jnp.int32)
+    valid = k < total
+    return jnp.where(valid, idx, 0), valid
+
+
+def compact_edges(edges: jnp.ndarray, capacity: int):
+    """(H, W) bool -> fixed-size (x, y, valid) edge-pixel list in row-major
+    scan order (see `compact_mask`)."""
     h, w = edges.shape
-    flat = edges.reshape(-1).astype(jnp.float32)
-    vals, idx = jax.lax.top_k(flat, capacity)
-    valid = vals > 0
+    idx, valid = compact_mask(edges.reshape(-1), capacity)
     x = (idx % w).astype(jnp.float32)
     y = (idx // w).astype(jnp.float32)
     return x, y, valid
@@ -111,12 +154,15 @@ def hough_segments(
             if di or dj:
                 neigh_max = jnp.maximum(neigh_max, shift2(acc, di, dj))
     is_peak = (acc >= neigh_max) & (acc >= vote_threshold)
-    peak_score = jnp.where(is_peak, acc, 0.0)
 
-    scores, flat_idx = jax.lax.top_k(peak_score.reshape(-1), max_lines)
+    # First max_lines peaks in accumulator scan order (compact_mask is far
+    # cheaper than a top_k sort over the 288K-bin accumulator; when more
+    # than max_lines peaks exist — rare at lane vote thresholds — this
+    # keeps scan-order peaks rather than the strongest).
+    flat_idx, line_valid = compact_mask(is_peak.reshape(-1), max_lines)
+    scores = jnp.where(line_valid, acc.reshape(-1)[flat_idx], 0.0)
     t_idx = flat_idx // n_rho
     r_idx = flat_idx % n_rho
-    line_valid = scores > 0
 
     ct = cos_t[t_idx]  # (L,)
     st = sin_t[t_idx]
