@@ -85,3 +85,41 @@ def test_multicamera_matches_single_camera():
         np.asarray(souts["plan_costs"]),
         rtol=1e-5,
     )
+
+
+def test_tensor_parallel_yolo_matches_unsharded():
+    """DP x TP sharded detection over a (data=2, model=4) mesh: GSPMD
+    shards conv output channels + the frame batch; results must match the
+    single-device detector."""
+    import numpy as np
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
+        make_yolo_detector,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.parallel.tp import (
+        make_sharded_yolo_detector,
+        make_tp_mesh,
+    )
+
+    mesh = make_tp_mesh()
+    assert mesh.shape["model"] > 1, "virtual device count must enable TP"
+    init_fn, detect = make_sharded_yolo_detector(
+        mesh, img_size=160, max_det=8, compute_dtype=jnp.float32
+    )
+    variables = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (4, 120, 160, 3)).astype(np.float32))
+    out = detect(variables, frames)
+
+    init_raw, detect_raw = make_yolo_detector(
+        img_size=160, max_det=8, compute_dtype=jnp.float32
+    )
+    v_raw = init_raw(jax.random.PRNGKey(0))
+    ref = jax.vmap(detect_raw, in_axes=(None, 0))(v_raw, frames)
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out[k], np.float32),
+            np.asarray(ref[k], np.float32),
+            atol=1e-3,
+            err_msg=k,
+        )
