@@ -101,11 +101,15 @@ def make_tagging_step(cfg: PipelineConfig):
         cls = dets.class_id
         vmask = dets.valid
 
-        traffic_count = jnp.sum((vmask & ((cls == _TLIGHT) | (cls == _SSIGN))).astype(jnp.int32))
-        vehicle_count = jnp.sum(
-            (vmask & ((cls == _CAR) | (cls == _TRUCK) | (cls == _BUS))).astype(jnp.int32)
+        # One 8-way class histogram instead of three separate masked sums
+        # (each reduction is a fusion boundary costing ~1-2 us in the scan).
+        cls_hist = jnp.sum(
+            ((cls[:, None] == jnp.arange(8)) & vmask[:, None]).astype(jnp.int32),
+            axis=0,
         )
-        ped_count = jnp.sum((vmask & (cls == _PED)).astype(jnp.int32))
+        traffic_count = cls_hist[_TLIGHT] + cls_hist[_SSIGN]
+        vehicle_count = cls_hist[_CAR] + cls_hist[_TRUCK] + cls_hist[_BUS]
+        ped_count = cls_hist[_PED]
 
         if feats is not None:
             center_density = feats["center_edge_density"]
@@ -126,20 +130,34 @@ def make_tagging_step(cfg: PipelineConfig):
             else jnp.asarray(False)
         )
 
-        z = jnp.float32(0.0)
-        scores = jnp.zeros((6,), jnp.float32)
-        scores = scores.at[1].add(jnp.where(center_density > 0.15, 0.4, z))
-        scores = scores.at[2].add(jnp.where(many_long, 0.5, z))
-        scores = scores.at[1].add(jnp.where(any_dets & (traffic_count > 0), 0.3, z))
-        scores = scores.at[3].add(jnp.where(any_dets & (traffic_count > 0), 0.2, z))
-        scores = scores.at[3].add(jnp.where(any_dets & (vehicle_count > 3), 0.3, z))
-        scores = scores.at[2].add(jnp.where(any_dets & (vehicle_count > 3), 0.2, z))
-        scores = scores.at[4].add(
-            jnp.where(any_dets & (vehicle_count <= 1), 0.3, z)
+        # Scored heuristics (scene_classifier.py:145-207) as one matvec:
+        # conditions (7,) x numpy weight rows (7, 6) -> scores (6,), instead
+        # of ten sequential scatter-adds on a (6,) vector.
+        conds = jnp.stack(
+            [
+                center_density > 0.15,
+                many_long,
+                any_dets & (traffic_count > 0),
+                any_dets & (vehicle_count > 3),
+                any_dets & (vehicle_count <= 1),
+                green,
+                both_lanes,
+            ]
+        ).astype(jnp.float32)
+        weights = np.asarray(
+            [
+                # unknown, intersection, highway, urban, residential, parking
+                [0.0, 0.4, 0.0, 0.0, 0.0, 0.0],  # center edge density
+                [0.0, 0.0, 0.5, 0.0, 0.0, 0.0],  # many long lines
+                [0.0, 0.3, 0.0, 0.2, 0.0, 0.0],  # traffic elements
+                [0.0, 0.0, 0.2, 0.3, 0.0, 0.0],  # dense vehicles
+                [0.0, 0.0, 0.0, 0.0, 0.3, 0.0],  # sparse vehicles
+                [0.0, 0.0, 0.0, 0.0, 0.3, 0.0],  # green ratio
+                [0.0, 0.0, 0.2, 0.1, 0.0, 0.0],  # both lanes
+            ],
+            np.float32,
         )
-        scores = scores.at[4].add(jnp.where(green, 0.3, z))
-        scores = scores.at[2].add(jnp.where(both_lanes, 0.2, z))
-        scores = scores.at[3].add(jnp.where(both_lanes, 0.1, z))
+        scores = conds @ weights
 
         total = jnp.sum(scores) + 0.001
         norm = scores / total
@@ -471,16 +489,29 @@ def make_tagging_step(cfg: PipelineConfig):
 
         has_int = itype >= 0
 
-        # Aggregates.
-        n_conf = jnp.sum(confirmed.astype(jnp.int32))
-        ped_count = jnp.sum((confirmed & is_ped).astype(jnp.int32))
-        cyc_count = jnp.sum((confirmed & is_cyc).astype(jnp.int32))
-        veh_count = jnp.sum(
-            (confirmed & (is_veh | (cls == _MOTO))).astype(jnp.int32)
+        # Aggregates: one 8-way class histogram and one batched (2, T) min
+        # instead of six separate masked reductions.
+        conf_hist = jnp.sum(
+            ((cls[:, None] == jnp.arange(8)) & confirmed[:, None]).astype(jnp.int32),
+            axis=0,
         )
-        min_dist = jnp.min(jnp.where(confirmed, dist, jnp.inf))
-        min_dist = jnp.where(n_conf > 0, min_dist, jnp.inf)
-        min_ttc = jnp.min(jnp.where(confirmed & has_ttc, ttc, jnp.inf))
+        n_conf = jnp.sum(confirmed.astype(jnp.int32))
+        ped_count = conf_hist[_PED]
+        cyc_count = conf_hist[_CYC]
+        veh_count = (
+            conf_hist[_CAR] + conf_hist[_TRUCK] + conf_hist[_BUS] + conf_hist[_MOTO]
+        )
+        mins = jnp.min(
+            jnp.stack(
+                [
+                    jnp.where(confirmed, dist, jnp.inf),
+                    jnp.where(confirmed & has_ttc, ttc, jnp.inf),
+                ]
+            ),
+            axis=1,
+        )
+        min_dist = jnp.where(n_conf > 0, mins[0], jnp.inf)
+        min_ttc = mins[1]
 
         # Primary interaction: the reference's descending *string* sort on
         # (risk, -confidence), stable by confirmed order (ascending id).
