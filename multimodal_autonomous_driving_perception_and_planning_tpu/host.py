@@ -270,6 +270,64 @@ def extract_frame(outs: Dict, dets_in: Dict, f: int) -> FrameResult:
     )
 
 
+class EgoStateHistory:
+    """Host-side ego-state history with the reference estimator's getter
+    surface (vehicle_state.py:200-240), capped at 1000 entries (:134-135).
+
+    The device pipeline emits the per-frame VehicleState stacked over time;
+    feed that in with `extend_from_outputs` (or append individual states).
+    """
+
+    def __init__(self, cap: int = 1000):
+        self.cap = cap
+        self._states: List[HostVehicleState] = []
+
+    def append(self, state: HostVehicleState) -> None:
+        self._states.append(state)
+        if len(self._states) > self.cap:
+            self._states.pop(0)
+
+    def extend_from_outputs(self, vehicle_state) -> None:
+        """Ingest a stacked VehicleState pytree of (T,) arrays."""
+        fields = (
+            "x", "y", "vx", "vy", "heading", "speed", "acceleration",
+            "yaw_rate", "timestamp", "pos_uncertainty", "vel_uncertainty",
+        )
+        cols = {k: np.asarray(getattr(vehicle_state, k)) for k in fields}
+        for f in range(len(cols["x"])):
+            self.append(HostVehicleState(**{k: float(v[f]) for k, v in cols.items()}))
+
+    def get_state_history(self, n: Optional[int] = None) -> List[HostVehicleState]:
+        if n is None:
+            return list(self._states)
+        return self._states[-n:]
+
+    def get_trajectory(self) -> np.ndarray:
+        if not self._states:
+            return np.array([])
+        return np.array([[s.x, s.y] for s in self._states])
+
+    def get_velocity_history(self) -> np.ndarray:
+        if not self._states:
+            return np.array([])
+        return np.array([[s.vx, s.vy] for s in self._states])
+
+    def get_speed_history(self) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._states:
+            return np.array([]), np.array([])
+        t = np.array([s.timestamp for s in self._states])
+        return t, np.array([s.speed for s in self._states])
+
+    def get_heading_history(self) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._states:
+            return np.array([]), np.array([])
+        t = np.array([s.timestamp for s in self._states])
+        return t, np.array([s.heading for s in self._states])
+
+    def reset(self) -> None:
+        self._states = []
+
+
 def lane_points(fit: np.ndarray, frame_height: int, n: int = 50) -> np.ndarray:
     """Rasterize a lane polynomial like lane_detector.py:163-167."""
     ys = np.linspace(frame_height * 0.6, frame_height, n)

@@ -248,3 +248,37 @@ def test_parity_helper_surface(pipeline_run):
     # Euler-consistency: x[i+1] - x[i] == vx[i+1] * dt.
     a = np.asarray(trajs[0])
     np.testing.assert_allclose(a[1:, 0] - a[:-1, 0], a[1:, 2] * 0.1, atol=1e-9)
+
+
+def test_ego_state_history_getters(pipeline_run):
+    """EgoStateHistory mirrors vehicle_state.py:200-240 over stacked
+    pipeline outputs, including the 1000-entry cap."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.host import (
+        EgoStateHistory,
+    )
+
+    cfg, dets, outs, T = pipeline_run
+    h = EgoStateHistory()
+    h.extend_from_outputs(outs["vehicle_state"])
+    assert len(h.get_state_history()) == T
+    assert len(h.get_state_history(5)) == 5
+    traj = h.get_trajectory()
+    assert traj.shape == (T, 2)
+    np.testing.assert_allclose(traj[:, 0], np.asarray(outs["vehicle_state"].x), rtol=1e-6)
+    times, speeds = h.get_speed_history()
+    np.testing.assert_allclose(speeds, np.asarray(outs["vehicle_state"].speed), rtol=1e-6)
+    assert times.shape == speeds.shape
+    _, headings = h.get_heading_history()
+    assert headings.shape == (T,)
+    vel = h.get_velocity_history()
+    assert vel.shape == (T, 2)
+
+    # Cap behavior.
+    small = EgoStateHistory(cap=10)
+    small.extend_from_outputs(outs["vehicle_state"])
+    assert len(small.get_state_history()) == 10
+    np.testing.assert_allclose(
+        small.get_trajectory()[-1], traj[-1], rtol=1e-6
+    )
+    small.reset()
+    assert small.get_trajectory().size == 0
