@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """End-to-end pipeline benchmark.
 
-Measures the BASELINE.json headline: frames/sec/chip for the full
-detect->track->estimate->plan->tag pipeline over the 300-frame synthetic
-demo sequence, as one jitted `lax.scan` program on a single chip.
+Measures the BASELINE.json headline: frames/sec/chip for the
+detect->track->estimate->plan pipeline over the 300-frame synthetic demo
+sequence, as one jitted `lax.scan` program on a single chip.  Tagging is
+disabled to match the reference's headline configuration (demo.py never
+tags); `benchmarks/suite.py` reports the tagging-on variant separately.
 
 Timing methodology (tunnel-attached TPU runtimes are hostile to naive
 timing — see benchmarks/suite.py): the jitted benchmark function runs the
@@ -25,7 +27,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_FPS = 45.2  # README.md:141 sample console output
 NUM_FRAMES = 300

@@ -115,7 +115,6 @@ def _scan_bench_fn(cfg, reps):
     )
 
     step = make_pipeline_step(cfg)
-    state0 = initial_state(cfg)
     spec_cell = []
 
     def body(carry, xs):
@@ -127,6 +126,9 @@ def _scan_bench_fn(cfg, reps):
         return new_state, packed
 
     def fn(nonce, inputs):
+        # Built inside the trace: a closure-captured device-array state
+        # would be re-uploaded per call on tunnel-attached runtimes.
+        state0 = initial_state(cfg)
         det = Detections(
             bbox=inputs["bbox"],
             class_id=inputs["class_id"],

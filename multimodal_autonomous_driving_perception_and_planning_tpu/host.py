@@ -11,6 +11,7 @@ those per-frame records on the host, after the device work is done.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
@@ -280,12 +281,12 @@ class EgoStateHistory:
 
     def __init__(self, cap: int = 1000):
         self.cap = cap
-        self._states: List[HostVehicleState] = []
+        self._states: "collections.deque[HostVehicleState]" = collections.deque(
+            maxlen=cap
+        )
 
     def append(self, state: HostVehicleState) -> None:
         self._states.append(state)
-        if len(self._states) > self.cap:
-            self._states.pop(0)
 
     def extend_from_outputs(self, vehicle_state) -> None:
         """Ingest a stacked VehicleState pytree of (T,) arrays."""
@@ -298,9 +299,10 @@ class EgoStateHistory:
             self.append(HostVehicleState(**{k: float(v[f]) for k, v in cols.items()}))
 
     def get_state_history(self, n: Optional[int] = None) -> List[HostVehicleState]:
+        states = list(self._states)
         if n is None:
-            return list(self._states)
-        return self._states[-n:]
+            return states
+        return states[-n:]
 
     def get_trajectory(self) -> np.ndarray:
         if not self._states:
@@ -325,7 +327,7 @@ class EgoStateHistory:
         return t, np.array([s.heading for s in self._states])
 
     def reset(self) -> None:
-        self._states = []
+        self._states.clear()
 
 
 def lane_points(fit: np.ndarray, frame_height: int, n: int = 50) -> np.ndarray:

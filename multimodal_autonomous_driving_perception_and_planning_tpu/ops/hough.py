@@ -155,12 +155,18 @@ def hough_segments(
                 neigh_max = jnp.maximum(neigh_max, shift2(acc, di, dj))
     is_peak = (acc >= neigh_max) & (acc >= vote_threshold)
 
-    # First max_lines peaks in accumulator scan order (compact_mask is far
-    # cheaper than a top_k sort over the 288K-bin accumulator; when more
-    # than max_lines peaks exist — rare at lane vote thresholds — this
-    # keeps scan-order peaks rather than the strongest).
-    flat_idx, line_valid = compact_mask(is_peak.reshape(-1), max_lines)
-    scores = jnp.where(line_valid, acc.reshape(-1)[flat_idx], 0.0)
+    # Strongest max_lines peaks, without a top_k sort over the 288K-bin
+    # accumulator: compact the (few) peaks into a small pool in scan order,
+    # then top_k only the pool by vote count.  Ties keep pool order =
+    # row-major scan order, matching the old full top_k's tie behavior.
+    # Only if more than pool_size bins peak simultaneously (not reachable
+    # at lane vote thresholds) could a strong line be dropped.
+    pool_size = max(4 * max_lines, 256)
+    pool_idx, pool_valid = compact_mask(is_peak.reshape(-1), pool_size)
+    pool_scores = jnp.where(pool_valid, acc.reshape(-1)[pool_idx], 0.0)
+    scores, in_pool = jax.lax.top_k(pool_scores, max_lines)
+    flat_idx = pool_idx[in_pool]
+    line_valid = scores > 0
     t_idx = flat_idx // n_rho
     r_idx = flat_idx % n_rho
 

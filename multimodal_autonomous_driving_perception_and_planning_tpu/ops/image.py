@@ -25,8 +25,6 @@ Parity notes:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

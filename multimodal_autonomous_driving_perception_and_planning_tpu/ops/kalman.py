@@ -124,7 +124,10 @@ def kalman_update(
         y = z - H @ x
         PHT = P @ H.T
         S = H @ PHT + R
-        K = _solve_spd4(S, PHT.T).T  # K = PHT S^-1, no explicit inverse
+        if S.shape[0] == 4:
+            K = _solve_spd4(S, PHT.T).T  # K = PHT S^-1, no explicit inverse
+        else:  # generic measurement dim: fall back to the library solve
+            K = jnp.linalg.solve(S.T, PHT.T).T
         x = x + K @ y
         I_KH = jnp.eye(P.shape[0], dtype=P.dtype) - K @ H
         P = I_KH @ P @ I_KH.T + K @ R @ K.T

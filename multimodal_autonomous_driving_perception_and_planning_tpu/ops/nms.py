@@ -3,9 +3,10 @@
 The reference delegates NMS to ultralytics' torch implementation inside
 ``self.model(frame)`` (src/perception/detector.py:103-123).  This is the
 TPU-native equivalent: static shapes throughout, one (K, K) IoU matrix on
-the VPU, and a sequential greedy pass expressed as a fori_loop — the exact
-semantics of torchvision/ultralytics NMS (score-descending greedy with IoU
-suppression, class-aware via the coordinate-offset trick).
+the VPU, and the greedy pass expressed as a fixpoint iteration over the
+suppression operator (see `nms`) — the exact semantics of
+torchvision/ultralytics NMS (score-descending greedy with IoU suppression,
+class-aware via the coordinate-offset trick) in ~chain-depth rounds.
 
 Pipeline: score filter -> top-K prefilter -> greedy suppress -> top
 ``max_det`` survivors, all fixed capacity.

@@ -57,8 +57,9 @@ def shard_yolo_variables(
     Conv kernels are HWIO — shard O (the last dim) over the model axis;
     1-D vectors (conv bias, BN scale/bias/mean/var) shard their single
     feature dim.  Any tensor whose sharded dim is not divisible by the
-    model-axis size is replicated instead (e.g. the 80-class head at
-    model=4 stays replicated — GSPMD requires even tiling).
+    model-axis size is replicated instead (yolov8n's channel widths are
+    all divisible by 2 and 4; the fallback covers other variants, class
+    counts, and odd mesh shapes — GSPMD requires even tiling).
     """
     n_model = mesh.shape[model_axis]
 

@@ -157,7 +157,10 @@ def make_tagging_step(cfg: PipelineConfig):
             ],
             np.float32,
         )
-        scores = conds @ weights
+        # Broadcast-sum instead of @: stays on the VPU in exact f32 (the
+        # TPU default matmul precision is bf16, which would perturb the
+        # score constants and could flip near-tied argmax road types).
+        scores = jnp.sum(conds[:, None] * weights, axis=0)
 
         total = jnp.sum(scores) + 0.001
         norm = scores / total
