@@ -303,7 +303,11 @@ def main(argv=None):
         return
 
     if args.video is None and not args.synthetic:
-        parser.error("either --video or --synthetic is required")
+        # The reference README documents bare ``python demo.py`` running on
+        # synthetic data (README.md:69-75; its shipped demo.py regressed to
+        # requiring --video).  Implement the documented behavior.
+        print("No --video given; using the synthetic road-scene generator.")
+        args.synthetic = True
 
     run_demo(
         video_path=args.video,
