@@ -1,0 +1,416 @@
+"""BLIP image-captioning model in Flax (TPU-native VLM path).
+
+The reference drives BLIP through HuggingFace torch on the host
+(src/tagging/vlm_tagger.py:119-190: BlipProcessor +
+BlipForConditionalGeneration.generate).  transformers 4.57 ships no Flax
+BLIP, so this is a from-scratch JAX implementation of the
+``Salesforce/blip-image-captioning-base`` architecture:
+
+  * vision: ViT-B/16 (pre-LN), 384x384 inputs -> 577 patch tokens
+  * text: BERT-base-style *post-LN* decoder with causal self-attention and
+    per-layer cross-attention over the vision states, BERT LM head
+  * greedy decoding as a fixed-length `lax.scan` (the torch host backend
+    keeps the reference's beam search; this path is the on-TPU option)
+
+Weight import accepts a plain torch ``state_dict`` of
+``BlipForConditionalGeneration`` (see `load_torch_state_dict`).  The whole
+forward + generate jits; weights shard with the same GSPMD recipe as the
+detector (`parallel.tp.shard_yolo_variables` analog: shard the hidden/FFN
+feature dims over a model axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipConfig:
+    # Vision (BlipVisionConfig defaults for the base checkpoint).
+    image_size: int = 384
+    patch_size: int = 16
+    vision_hidden: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    vision_mlp: int = 3072
+    vision_eps: float = 1e-5
+    # Text (BlipTextConfig defaults).
+    vocab_size: int = 30524
+    text_hidden: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    text_mlp: int = 3072
+    text_eps: float = 1e-12
+    max_position: int = 512
+    # Special tokens (bert-base-uncased vocab + BLIP's [DEC]).
+    bos_token_id: int = 30522
+    sep_token_id: int = 102
+    pad_token_id: int = 0
+
+    @classmethod
+    def tiny(cls) -> "BlipConfig":
+        """A test-sized config (random init, structural tests)."""
+        return cls(
+            image_size=64,
+            patch_size=16,
+            vision_hidden=32,
+            vision_layers=2,
+            vision_heads=2,
+            vision_mlp=64,
+            vocab_size=64,
+            text_hidden=32,
+            text_layers=2,
+            text_heads=2,
+            text_mlp=64,
+            max_position=32,
+            bos_token_id=1,
+            sep_token_id=2,
+            pad_token_id=0,
+        )
+
+
+def _attention(q, k, v, mask=None):
+    """Scaled dot-product attention; q/k/v are (B, H, L, D)."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+class MultiHeadAttention(nn.Module):
+    hidden: int
+    heads: int
+    out_name: str = "output"
+
+    @nn.compact
+    def __call__(self, x, kv, mask=None):
+        d = self.hidden // self.heads
+
+        def split(t):
+            b, l, _ = t.shape
+            return t.reshape(b, l, self.heads, d).transpose(0, 2, 1, 3)
+
+        q = split(nn.Dense(self.hidden, name="query")(x))
+        k = split(nn.Dense(self.hidden, name="key")(kv))
+        v = split(nn.Dense(self.hidden, name="value")(kv))
+        o = _attention(q, k, v, mask)
+        b, h, l, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, l, self.hidden)
+        return nn.Dense(self.hidden, name=self.out_name)(o)
+
+
+class ViTLayer(nn.Module):
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.vision_eps, name="ln1")(x)
+        x = x + MultiHeadAttention(c.vision_hidden, c.vision_heads, name="attn")(h, h)
+        h = nn.LayerNorm(epsilon=c.vision_eps, name="ln2")(x)
+        h = nn.Dense(c.vision_mlp, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.vision_hidden, name="fc2")(h)
+        return x + h
+
+
+class BlipVisionModel(nn.Module):
+    """Pre-LN ViT; returns (B, 1 + n_patches, hidden) states."""
+
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        c = self.cfg
+        b = pixel_values.shape[0]
+        n = (c.image_size // c.patch_size) ** 2
+        x = nn.Conv(
+            c.vision_hidden,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )(pixel_values)
+        x = x.reshape(b, n, c.vision_hidden)
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, c.vision_hidden)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.vision_hidden)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros, (1, n + 1, c.vision_hidden)
+        )
+        x = x + pos
+        for i in range(c.vision_layers):
+            x = ViTLayer(c, name=f"layer{i}")(x)
+        return nn.LayerNorm(epsilon=c.vision_eps, name="post_ln")(x)
+
+
+class BertDecoderLayer(nn.Module):
+    """Post-LN BERT layer with causal self-attention + cross-attention."""
+
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, x, vision, self_mask):
+        c = self.cfg
+        a = MultiHeadAttention(c.text_hidden, c.text_heads, name="self_attn")(
+            x, x, self_mask
+        )
+        x = nn.LayerNorm(epsilon=c.text_eps, name="self_ln")(x + a)
+        a = MultiHeadAttention(c.text_hidden, c.text_heads, name="cross_attn")(
+            x, vision
+        )
+        x = nn.LayerNorm(epsilon=c.text_eps, name="cross_ln")(x + a)
+        h = nn.Dense(c.text_mlp, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.text_hidden, name="fc2")(h)
+        return nn.LayerNorm(epsilon=c.text_eps, name="out_ln")(x + h)
+
+
+class BlipTextDecoder(nn.Module):
+    """BERT-style causal decoder over the vision states -> vocab logits."""
+
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, input_ids, vision):
+        c = self.cfg
+        b, L = input_ids.shape
+        emb = nn.Embed(c.vocab_size, c.text_hidden, name="word_embeddings")
+        x = emb(input_ids)
+        pos = self.param(
+            "position_embeddings",
+            nn.initializers.zeros,
+            (c.max_position, c.text_hidden),
+        )
+        x = x + pos[None, :L]
+        x = nn.LayerNorm(epsilon=c.text_eps, name="emb_ln")(x)
+
+        causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        for i in range(c.text_layers):
+            x = BertDecoderLayer(c, name=f"layer{i}")(x, vision, causal)
+
+        # BERT LM head: transform (dense + gelu + LN) then decode to vocab.
+        h = nn.Dense(c.text_hidden, name="transform")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=c.text_eps, name="transform_ln")(h)
+        logits = nn.Dense(c.vocab_size, name="decoder")(h)
+        return logits
+
+
+class BlipForCaptioning(nn.Module):
+    cfg: BlipConfig
+
+    def setup(self):
+        self.vision = BlipVisionModel(self.cfg, name="vision")
+        self.text = BlipTextDecoder(self.cfg, name="text")
+
+    def __call__(self, pixel_values, input_ids):
+        vision = self.vision(pixel_values)
+        return self.text(input_ids, vision)
+
+    def encode(self, pixel_values):
+        return self.vision(pixel_values)
+
+    def decode(self, input_ids, vision):
+        return self.text(input_ids, vision)
+
+
+# OpenAI CLIP normalization, used by the BLIP processor.
+IMAGE_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_bgr(frame_bgr: jnp.ndarray, image_size: int) -> jnp.ndarray:
+    """uint8 BGR (H, W, 3) -> normalized (1, S, S, 3) model input
+    (bicubic resize like the HF processor, CLIP mean/std)."""
+    rgb = frame_bgr[..., ::-1].astype(jnp.float32) / 255.0
+    resized = jax.image.resize(rgb, (image_size, image_size, 3), method="cubic")
+    out = (resized - IMAGE_MEAN) / IMAGE_STD
+    return out[None]
+
+
+def make_caption_fn(cfg: BlipConfig, max_new_tokens: int = 40):
+    """Build (init_fn, caption_fn).
+
+    ``caption_fn(params, pixel_values, prompt_ids, prompt_len)`` greedily
+    decodes up to ``max_new_tokens`` after the prompt and returns
+    (token_ids (L,), length) with everything after the SEP token padded.
+    ``prompt_ids`` is a fixed-size (P,) int32 buffer (bos + prompt tokens,
+    padded); decoding starts at ``prompt_len``.
+    """
+    model = BlipForCaptioning(cfg)
+    P_env = None
+
+    def init_fn(rng, prompt_capacity: int = 16):
+        nonlocal P_env
+        P_env = prompt_capacity
+        dummy_img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        dummy_ids = jnp.zeros((1, prompt_capacity + max_new_tokens), jnp.int32)
+        return model.init(rng, dummy_img, dummy_ids)
+
+    def caption_fn(params, pixel_values, prompt_ids, prompt_len):
+        L = prompt_ids.shape[0] + max_new_tokens
+        vision = model.apply(params, pixel_values, method=BlipForCaptioning.encode)
+        buf = jnp.zeros((L,), jnp.int32).at[: prompt_ids.shape[0]].set(prompt_ids)
+
+        def step(carry, i):
+            buf, finished = carry
+            logits = model.apply(
+                params, buf[None], vision, method=BlipForCaptioning.decode
+            )[0]
+            # Next token predicted from position i-1, written at i (only
+            # once decoding has reached i, i.e. i >= prompt_len).
+            nxt = jnp.argmax(logits[i - 1]).astype(jnp.int32)
+            decode_here = (i >= prompt_len) & jnp.logical_not(finished)
+            nxt = jnp.where(decode_here, nxt, buf[i])
+            buf = buf.at[i].set(nxt)
+            finished = finished | (decode_here & (nxt == cfg.sep_token_id))
+            return (buf, finished), None
+
+        (buf, _), _ = jax.lax.scan(
+            step,
+            (buf, jnp.asarray(False)),
+            jnp.arange(1, L),
+        )
+        # Length = position of first SEP at/after prompt_len (else L).
+        pos = jnp.arange(L)
+        is_end = (buf == cfg.sep_token_id) & (pos >= prompt_len)
+        length = jnp.where(jnp.any(is_end), jnp.argmax(is_end), L)
+        buf = jnp.where(pos <= length, buf, cfg.pad_token_id)
+        return buf, length.astype(jnp.int32)
+
+    return init_fn, caption_fn
+
+
+# ---------------------------------------------------------------------------
+# Weight import from HuggingFace torch BlipForConditionalGeneration
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(state_dict: Dict[str, Any], cfg: BlipConfig):
+    """Convert a torch ``BlipForConditionalGeneration.state_dict()``.
+
+    Key map (HF -> here):
+      vision_model.embeddings.{class_embedding,position_embedding,
+        patch_embedding.*}            -> vision/{cls_token,pos_embed,patch_embed}
+      vision_model.encoder.layers.<i>.self_attn.{qkv}_proj -> vision/layer<i>/attn
+      vision_model.encoder.layers.<i>.{layer_norm1,layer_norm2,mlp.fc1,mlp.fc2}
+      vision_model.post_layernorm     -> vision/post_ln
+      text_decoder.bert.embeddings.*  -> text/{word_embeddings,
+                                         position_embeddings,emb_ln}
+      text_decoder.bert.encoder.layer.<i>.attention.self.{query,key,value}
+        / attention.output.dense      -> text/layer<i>/self_attn
+      ...crossattention...            -> text/layer<i>/cross_attn
+      attention.output.LayerNorm      -> self_ln; crossattention.output.LayerNorm
+        -> cross_ln; intermediate.dense -> fc1; output.dense -> fc2;
+        output.LayerNorm -> out_ln
+      text_decoder.cls.predictions.transform.{dense,LayerNorm} ->
+        text/{transform,transform_ln}; decoder -> text/decoder
+    """
+    params: Dict[str, Any] = {}
+
+    def put(path, leaf):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(np.asarray(leaf))
+
+    def dense(prefix_hf, path):
+        w = state_dict.get(prefix_hf + ".weight")
+        if w is None:
+            return
+        put(path + ["kernel"], np.asarray(w).T)
+        b = state_dict.get(prefix_hf + ".bias")
+        if b is not None:
+            put(path + ["bias"], np.asarray(b))
+
+    def ln(prefix_hf, path):
+        if prefix_hf + ".weight" not in state_dict:
+            return
+        put(path + ["scale"], state_dict[prefix_hf + ".weight"])
+        put(path + ["bias"], state_dict[prefix_hf + ".bias"])
+
+    # Vision.
+    v = "vision_model"
+    if f"{v}.embeddings.class_embedding" in state_dict:
+        put(
+            ["vision", "cls_token"],
+            np.asarray(state_dict[f"{v}.embeddings.class_embedding"]).reshape(
+                1, 1, -1
+            ),
+        )
+        put(
+            ["vision", "pos_embed"],
+            np.asarray(state_dict[f"{v}.embeddings.position_embedding"]).reshape(
+                1, -1, cfg.vision_hidden
+            ),
+        )
+        pw = np.asarray(state_dict[f"{v}.embeddings.patch_embedding.weight"])
+        put(["vision", "patch_embed", "kernel"], np.transpose(pw, (2, 3, 1, 0)))
+        pb = state_dict.get(f"{v}.embeddings.patch_embedding.bias")
+        if pb is not None:
+            put(["vision", "patch_embed", "bias"], np.asarray(pb))
+    for i in range(cfg.vision_layers):
+        hf = f"{v}.encoder.layers.{i}"
+        fl = ["vision", f"layer{i}"]
+        ln(f"{hf}.layer_norm1", fl + ["ln1"])
+        ln(f"{hf}.layer_norm2", fl + ["ln2"])
+        # HF BLIP vision uses a single qkv projection.
+        qkv_w = state_dict.get(f"{hf}.self_attn.qkv.weight")
+        if qkv_w is not None:
+            qkv_w = np.asarray(qkv_w)
+            h = cfg.vision_hidden
+            for j, name in enumerate(("query", "key", "value")):
+                put(fl + ["attn", name, "kernel"], qkv_w[j * h : (j + 1) * h].T)
+            qkv_b = np.asarray(state_dict[f"{hf}.self_attn.qkv.bias"])
+            for j, name in enumerate(("query", "key", "value")):
+                put(fl + ["attn", name, "bias"], qkv_b[j * h : (j + 1) * h])
+        else:
+            for name in ("query", "key", "value"):
+                dense(f"{hf}.self_attn.{name[0]}_proj", fl + ["attn", name])
+        dense(f"{hf}.self_attn.projection", fl + ["attn", "output"])
+        dense(f"{hf}.mlp.fc1", fl + ["fc1"])
+        dense(f"{hf}.mlp.fc2", fl + ["fc2"])
+    ln(f"{v}.post_layernorm", ["vision", "post_ln"])
+
+    # Text decoder.
+    t = "text_decoder.bert"
+    emb = state_dict.get(f"{t}.embeddings.word_embeddings.weight")
+    if emb is not None:
+        put(["text", "word_embeddings", "embedding"], emb)
+        put(
+            ["text", "position_embeddings"],
+            state_dict[f"{t}.embeddings.position_embeddings.weight"],
+        )
+        ln(f"{t}.embeddings.LayerNorm", ["text", "emb_ln"])
+    for i in range(cfg.text_layers):
+        hf = f"{t}.encoder.layer.{i}"
+        fl = ["text", f"layer{i}"]
+        for name in ("query", "key", "value"):
+            dense(f"{hf}.attention.self.{name}", fl + ["self_attn", name])
+        dense(f"{hf}.attention.output.dense", fl + ["self_attn", "output"])
+        ln(f"{hf}.attention.output.LayerNorm", fl + ["self_ln"])
+        for name in ("query", "key", "value"):
+            dense(f"{hf}.crossattention.self.{name}", fl + ["cross_attn", name])
+        dense(f"{hf}.crossattention.output.dense", fl + ["cross_attn", "output"])
+        ln(f"{hf}.crossattention.output.LayerNorm", fl + ["cross_ln"])
+        dense(f"{hf}.intermediate.dense", fl + ["fc1"])
+        dense(f"{hf}.output.dense", fl + ["fc2"])
+        ln(f"{hf}.output.LayerNorm", fl + ["out_ln"])
+    dense("text_decoder.cls.predictions.transform.dense", ["text", "transform"])
+    ln(
+        "text_decoder.cls.predictions.transform.LayerNorm",
+        ["text", "transform_ln"],
+    )
+    dense("text_decoder.cls.predictions.decoder", ["text", "decoder"])
+
+    return {"params": params}

@@ -237,6 +237,100 @@ class _BlipBackend:
             return f"Generation error: {e}"
 
 
+class _JaxBlipBackend:
+    """On-TPU BLIP captioning via the from-scratch JAX model
+    (models.blip); the TPU-native alternative to the torch host backend.
+
+    ``cfg.model_name`` may point at a local directory containing a torch
+    ``pytorch_model.bin``/``model.safetensors`` state dict plus a BERT
+    tokenizer; without weights the load error is captured like
+    vlm_tagger.py:148-156 and the tagger falls back.
+    """
+
+    def __init__(self, cfg: VLMConfig):
+        self.cfg = cfg
+        self.load_error: Optional[str] = None
+        self._ready = False
+        self._caption = None
+        self._params = None
+        self._tokenizer = None
+        self._bcfg = None
+
+    def _load(self) -> bool:
+        if self._ready:
+            return True
+        if self.load_error:
+            return False
+        try:
+            import jax
+
+            from ..models.blip import (
+                BlipConfig,
+                load_torch_state_dict,
+                make_caption_fn,
+            )
+
+            from transformers import AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(self.cfg.model_name)
+            self._bcfg = BlipConfig()
+            init_fn, caption_fn = make_caption_fn(
+                self._bcfg, max_new_tokens=self.cfg.max_new_tokens
+            )
+            state_dict = self._load_state_dict(self.cfg.model_name)
+            self._params = load_torch_state_dict(state_dict, self._bcfg)
+            self._caption = jax.jit(caption_fn)
+            self._ready = True
+            return True
+        except Exception as e:  # no local weights / tokenizer, ...
+            self.load_error = str(e)
+            return False
+
+    @staticmethod
+    def _load_state_dict(path: str):
+        import os
+
+        bin_path = os.path.join(path, "pytorch_model.bin")
+        if os.path.exists(bin_path):
+            import torch
+
+            return torch.load(bin_path, map_location="cpu", weights_only=True)
+        st_path = os.path.join(path, "model.safetensors")
+        if os.path.exists(st_path):
+            from safetensors.numpy import load_file
+
+            return load_file(st_path)
+        raise FileNotFoundError(f"no torch state dict under {path}")
+
+    def generate(self, frame, prompt, context) -> str:
+        if not self._load():
+            return f"Model load failed: {self.load_error}"
+        try:
+            import jax.numpy as jnp
+
+            from ..models.blip import preprocess_bgr
+
+            c = self._bcfg
+            px = preprocess_bgr(jnp.asarray(frame), c.image_size)
+            tok = self._tokenizer(prompt or "a photo of", return_tensors="np")
+            ids = tok["input_ids"][0].astype(np.int32)
+            ids[0] = c.bos_token_id  # BLIP swaps [CLS] for its [DEC] token
+            ids = ids[ids != c.sep_token_id]  # decode continues the prompt
+            cap = 16
+            buf = np.zeros((cap,), np.int32)
+            n = min(len(ids), cap)
+            buf[:n] = ids[:n]
+            out_ids, length = self._caption(
+                self._params, px, jnp.asarray(buf), jnp.asarray(n)
+            )
+            out = np.asarray(out_ids)[: int(length)]
+            return self._tokenizer.decode(
+                [t for t in out if t != c.bos_token_id], skip_special_tokens=True
+            ).strip()
+        except Exception as e:
+            return f"Generation error: {e}"
+
+
 class VLMTagger:
     """Open-vocabulary captioning -> structured tags with frame-skip caching."""
 
@@ -248,6 +342,9 @@ class VLMTagger:
         elif backend == "blip":
             self._backend = _BlipBackend(cfg)
             self._fallback = None
+        elif backend == "jax":
+            self._backend = _JaxBlipBackend(cfg)
+            self._fallback = _StubBackend()
         else:
             self._backend = _StubBackend()
             self._fallback = None
