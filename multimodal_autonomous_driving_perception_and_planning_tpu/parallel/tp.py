@@ -75,6 +75,30 @@ def shard_yolo_variables(
     return jax.tree_util.tree_map(place, variables)
 
 
+def shard_blip_variables(
+    variables: Dict[str, Any], mesh: Mesh, model_axis: str = "model"
+) -> Dict[str, Any]:
+    """Tensor-shard the JAX BLIP captioner (models.blip) over ``mesh``.
+
+    Standard transformer TP via GSPMD: 2-D dense kernels shard their output
+    (last) dim, embeddings shard the feature dim, the patch-embed conv
+    kernel shards output channels; vectors and non-divisible tensors stay
+    replicated.  XLA inserts the collectives (pjit-style sharded BLIP per
+    SURVEY.md section 7 step 8).
+    """
+    n_model = mesh.shape[model_axis]
+
+    def place(x):
+        nd = getattr(x, "ndim", 0)
+        if nd >= 2 and x.shape[-1] % n_model == 0:
+            spec = P(*([None] * (nd - 1)), model_axis)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, variables)
+
+
 def make_sharded_yolo_detector(
     mesh: Mesh,
     variant: str = "n",

@@ -231,3 +231,35 @@ def test_jax_backend_falls_back_without_weights():
     frame = np.full((48, 64, 3), 120, np.uint8)
     tags = tagger.tag_frame(frame)
     assert tags.scene_description  # stub fallback produced a caption
+
+
+def test_sharded_blip_matches_unsharded():
+    """TP-sharded BLIP (GSPMD over the model axis) decodes identically to
+    the single-device model on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models.blip import (
+        BlipConfig,
+        make_caption_fn,
+        preprocess_bgr,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.parallel.tp import (
+        make_tp_mesh,
+        shard_blip_variables,
+    )
+
+    cfg = BlipConfig.tiny()
+    init_fn, caption = make_caption_fn(cfg, max_new_tokens=6)
+    params = init_fn(jax.random.PRNGKey(0), prompt_capacity=4)
+    frame = np.random.default_rng(0).integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    px = preprocess_bgr(jnp.asarray(frame), cfg.image_size)
+    prompt = jnp.asarray([cfg.bos_token_id, 5, 7, 0], jnp.int32)
+    f = jax.jit(caption)
+    ref_ids, ref_len = f(params, px, prompt, jnp.asarray(3))
+
+    mesh = make_tp_mesh()
+    sharded = shard_blip_variables(params, mesh)
+    got_ids, got_len = f(sharded, px, prompt, jnp.asarray(3))
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids))
+    assert int(got_len) == int(ref_len)
