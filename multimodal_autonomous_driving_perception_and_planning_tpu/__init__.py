@@ -1,6 +1,6 @@
 """TPU-native multimodal autonomous-driving perception & planning framework.
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+A ground-up JAX/XLA rebuild of the capabilities of
 ``bhavyageethika/multimodal_autonomous_driving_perception_and_planning``
 (camera-to-plan AV stack: detection, lane finding, multi-object tracking,
 ego Kalman estimation, quintic-polynomial motion planning, auto-tagging,

@@ -1,6 +1,7 @@
 """Unit parity tests for the core device ops vs the float64 oracle."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from multimodal_autonomous_driving_perception_and_planning_tpu.ops import (
@@ -123,3 +124,61 @@ def test_kalman_single_step_matches_oracle():
     np.testing.assert_allclose(np.asarray(x2), ox2, atol=1e-4)
     # Covariance entries are O(10); float32 linear solves give ~1e-4 abs.
     np.testing.assert_allclose(np.asarray(P2), oP2, rtol=1e-3, atol=1e-3)
+
+
+def test_compact_mask_matches_topk_selection():
+    """compact_mask picks exactly the first-K set bits in row-major order
+    (the selection top_k with tie-by-index used to make), across densities
+    incl. overflow and empty masks."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.ops.hough import (
+        compact_mask,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial, (n, density, cap) in enumerate(
+        [(1000, 0.01, 64), (307200, 0.002, 256), (500, 0.9, 64), (256, 0.0, 16),
+         (8192, 0.5, 128)]
+    ):
+        mask = rng.random(n) < density
+        idx, valid = jax.jit(compact_mask, static_argnums=1)(
+            jnp.asarray(mask), cap
+        )
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        want = np.flatnonzero(mask)[:cap]
+        assert valid.sum() == len(want), trial
+        np.testing.assert_array_equal(idx[: len(want)], want, err_msg=str(trial))
+        assert not valid[len(want):].any()
+
+
+def test_pack_unpack_roundtrip():
+    """pack_tree/unpack_tree round-trip an arbitrary mixed pytree exactly,
+    including the extra leading scan axis unpack expects."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.pipeline import (
+        pack_tree,
+        unpack_tree,
+    )
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": jnp.asarray(rng.normal(size=()), jnp.float32),
+        "b": jnp.asarray(3, jnp.int32),
+        "c": jnp.asarray(True),
+        "nested": {
+            "x": jnp.asarray(rng.normal(size=(64, 4)), jnp.float32),
+            "y": jnp.asarray(rng.normal(size=(64,)), jnp.float32),
+            "ids": jnp.asarray(rng.integers(0, 9, (64,)), jnp.int32),
+            "ring": jnp.asarray(rng.normal(size=(64, 5, 2)), jnp.float32),
+        },
+        "plan": (jnp.asarray(rng.normal(size=(21, 51)), jnp.float32),
+                 jnp.asarray(rng.integers(0, 21, (21,)), jnp.int32)),
+    }
+    packed, spec = pack_tree(tree)
+    assert len(packed) < len(jax.tree_util.tree_leaves(tree))
+    # Simulate scan stacking: add a leading time axis of 3.
+    stacked = [jnp.stack([p, p, p]) for p in packed]
+    out = unpack_tree(stacked, spec)
+    for want, got in zip(
+        jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(out)
+    ):
+        assert got.shape == (3,) + want.shape
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want))
