@@ -88,23 +88,32 @@ def _attention(q, k, v, mask=None):
 class MultiHeadAttention(nn.Module):
     hidden: int
     heads: int
-    out_name: str = "output"
 
-    @nn.compact
-    def __call__(self, x, kv, mask=None):
+    def setup(self):
+        self.query = nn.Dense(self.hidden)
+        self.key = nn.Dense(self.hidden)
+        self.value = nn.Dense(self.hidden)
+        self.output = nn.Dense(self.hidden)
+
+    def _split(self, t):
+        b, l, _ = t.shape
         d = self.hidden // self.heads
+        return t.reshape(b, l, self.heads, d).transpose(0, 2, 1, 3)
 
-        def split(t):
-            b, l, _ = t.shape
-            return t.reshape(b, l, self.heads, d).transpose(0, 2, 1, 3)
+    def project_kv(self, kv):
+        """Precompute (k, v) heads — loop-invariant for cross-attention."""
+        return self._split(self.key(kv)), self._split(self.value(kv))
 
-        q = split(nn.Dense(self.hidden, name="query")(x))
-        k = split(nn.Dense(self.hidden, name="key")(kv))
-        v = split(nn.Dense(self.hidden, name="value")(kv))
+    def attend(self, x, k, v, mask=None):
+        q = self._split(self.query(x))
         o = _attention(q, k, v, mask)
         b, h, l, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, l, self.hidden)
-        return nn.Dense(self.hidden, name=self.out_name)(o)
+        return self.output(o)
+
+    def __call__(self, x, kv, mask=None):
+        k, v = self.project_kv(kv)
+        return self.attend(x, k, v, mask)
 
 
 class ViTLayer(nn.Module):
@@ -158,21 +167,28 @@ class BertDecoderLayer(nn.Module):
 
     cfg: BlipConfig
 
-    @nn.compact
-    def __call__(self, x, vision, self_mask):
+    def setup(self):
         c = self.cfg
-        a = MultiHeadAttention(c.text_hidden, c.text_heads, name="self_attn")(
-            x, x, self_mask
-        )
-        x = nn.LayerNorm(epsilon=c.text_eps, name="self_ln")(x + a)
-        a = MultiHeadAttention(c.text_hidden, c.text_heads, name="cross_attn")(
-            x, vision
-        )
-        x = nn.LayerNorm(epsilon=c.text_eps, name="cross_ln")(x + a)
-        h = nn.Dense(c.text_mlp, name="fc1")(x)
+        self.self_attn = MultiHeadAttention(c.text_hidden, c.text_heads)
+        self.cross_attn = MultiHeadAttention(c.text_hidden, c.text_heads)
+        self.self_ln = nn.LayerNorm(epsilon=c.text_eps)
+        self.cross_ln = nn.LayerNorm(epsilon=c.text_eps)
+        self.fc1 = nn.Dense(c.text_mlp)
+        self.fc2 = nn.Dense(c.text_hidden)
+        self.out_ln = nn.LayerNorm(epsilon=c.text_eps)
+
+    def cross_kv(self, vision):
+        return self.cross_attn.project_kv(vision)
+
+    def __call__(self, x, cross_kv, self_mask):
+        a = self.self_attn(x, x, self_mask)
+        x = self.self_ln(x + a)
+        a = self.cross_attn.attend(x, *cross_kv)
+        x = self.cross_ln(x + a)
+        h = self.fc1(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.text_hidden, name="fc2")(h)
-        return nn.LayerNorm(epsilon=c.text_eps, name="out_ln")(x + h)
+        h = self.fc2(h)
+        return self.out_ln(x + h)
 
 
 class BlipTextDecoder(nn.Module):
@@ -180,30 +196,46 @@ class BlipTextDecoder(nn.Module):
 
     cfg: BlipConfig
 
-    @nn.compact
-    def __call__(self, input_ids, vision):
+    def setup(self):
         c = self.cfg
-        b, L = input_ids.shape
-        emb = nn.Embed(c.vocab_size, c.text_hidden, name="word_embeddings")
-        x = emb(input_ids)
-        pos = self.param(
+        self.word_embeddings = nn.Embed(c.vocab_size, c.text_hidden)
+        self.position_embeddings = self.param(
             "position_embeddings",
             nn.initializers.zeros,
             (c.max_position, c.text_hidden),
         )
-        x = x + pos[None, :L]
-        x = nn.LayerNorm(epsilon=c.text_eps, name="emb_ln")(x)
+        self.emb_ln = nn.LayerNorm(epsilon=c.text_eps)
+        self.layers = [
+            BertDecoderLayer(c, name=f"layer{i}") for i in range(c.text_layers)
+        ]
+        self.transform = nn.Dense(c.text_hidden)
+        self.transform_ln = nn.LayerNorm(epsilon=c.text_eps)
+        self.decoder = nn.Dense(c.vocab_size)
+
+    def cross_kv(self, vision):
+        """Per-layer cross-attention (k, v) — computed once per image."""
+        return [layer.cross_kv(vision) for layer in self.layers]
+
+    def __call__(self, input_ids, cross_kvs):
+        c = self.cfg
+        b, L = input_ids.shape
+        if L > c.max_position:
+            raise ValueError(
+                f"sequence length {L} exceeds max_position {c.max_position}"
+            )
+        x = self.word_embeddings(input_ids)
+        x = x + self.position_embeddings[None, :L]
+        x = self.emb_ln(x)
 
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
-        for i in range(c.text_layers):
-            x = BertDecoderLayer(c, name=f"layer{i}")(x, vision, causal)
+        for layer, kv in zip(self.layers, cross_kvs):
+            x = layer(x, kv, causal)
 
         # BERT LM head: transform (dense + gelu + LN) then decode to vocab.
-        h = nn.Dense(c.text_hidden, name="transform")(x)
+        h = self.transform(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.LayerNorm(epsilon=c.text_eps, name="transform_ln")(h)
-        logits = nn.Dense(c.vocab_size, name="decoder")(h)
-        return logits
+        h = self.transform_ln(h)
+        return self.decoder(h)
 
 
 class BlipForCaptioning(nn.Module):
@@ -215,13 +247,15 @@ class BlipForCaptioning(nn.Module):
 
     def __call__(self, pixel_values, input_ids):
         vision = self.vision(pixel_values)
-        return self.text(input_ids, vision)
+        return self.text(input_ids, self.text.cross_kv(vision))
 
-    def encode(self, pixel_values):
-        return self.vision(pixel_values)
+    def encode_cross(self, pixel_values):
+        """Vision forward + per-layer cross-attention K/V (loop-invariant
+        across decode steps — computed once per image, not per token)."""
+        return self.text.cross_kv(self.vision(pixel_values))
 
-    def decode(self, input_ids, vision):
-        return self.text(input_ids, vision)
+    def decode(self, input_ids, cross_kvs):
+        return self.text(input_ids, cross_kvs)
 
 
 # OpenAI CLIP normalization, used by the BLIP processor.
@@ -230,8 +264,13 @@ IMAGE_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def preprocess_bgr(frame_bgr: jnp.ndarray, image_size: int) -> jnp.ndarray:
-    """uint8 BGR (H, W, 3) -> normalized (1, S, S, 3) model input
-    (bicubic resize like the HF processor, CLIP mean/std)."""
+    """uint8 BGR (H, W, 3) -> normalized (1, S, S, 3) model input.
+
+    Cubic resize + CLIP mean/std.  Note: ``jax.image.resize`` does not
+    antialias on downscale while the HF processor's PIL bicubic does, so
+    pixel inputs (and occasionally greedy captions) can differ slightly
+    from the torch backend on high-frequency content.
+    """
     rgb = frame_bgr[..., ::-1].astype(jnp.float32) / 255.0
     resized = jax.image.resize(rgb, (image_size, image_size, 3), method="cubic")
     out = (resized - IMAGE_MEAN) / IMAGE_STD
@@ -242,35 +281,49 @@ def make_caption_fn(cfg: BlipConfig, max_new_tokens: int = 40):
     """Build (init_fn, caption_fn).
 
     ``caption_fn(params, pixel_values, prompt_ids, prompt_len)`` greedily
-    decodes up to ``max_new_tokens`` after the prompt and returns
+    decodes up to ``max_new_tokens`` tokens after ``prompt_len`` and returns
     (token_ids (L,), length) with everything after the SEP token padded.
     ``prompt_ids`` is a fixed-size (P,) int32 buffer (bos + prompt tokens,
-    padded); decoding starts at ``prompt_len``.
+    padded); L = P + max_new_tokens.  The vision forward and all cross-
+    attention K/V projections run once per image, outside the decode loop.
     """
     model = BlipForCaptioning(cfg)
-    P_env = None
 
     def init_fn(rng, prompt_capacity: int = 16):
-        nonlocal P_env
-        P_env = prompt_capacity
+        if prompt_capacity + max_new_tokens > cfg.max_position:
+            raise ValueError(
+                f"prompt_capacity + max_new_tokens = "
+                f"{prompt_capacity + max_new_tokens} exceeds max_position "
+                f"{cfg.max_position}"
+            )
         dummy_img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
         dummy_ids = jnp.zeros((1, prompt_capacity + max_new_tokens), jnp.int32)
         return model.init(rng, dummy_img, dummy_ids)
 
     def caption_fn(params, pixel_values, prompt_ids, prompt_len):
         L = prompt_ids.shape[0] + max_new_tokens
-        vision = model.apply(params, pixel_values, method=BlipForCaptioning.encode)
+        if L > cfg.max_position:
+            raise ValueError(
+                f"decode length {L} exceeds max_position {cfg.max_position}"
+            )
+        cross_kvs = model.apply(
+            params, pixel_values, method=BlipForCaptioning.encode_cross
+        )
         buf = jnp.zeros((L,), jnp.int32).at[: prompt_ids.shape[0]].set(prompt_ids)
 
         def step(carry, i):
             buf, finished = carry
             logits = model.apply(
-                params, buf[None], vision, method=BlipForCaptioning.decode
+                params, buf[None], cross_kvs, method=BlipForCaptioning.decode
             )[0]
-            # Next token predicted from position i-1, written at i (only
-            # once decoding has reached i, i.e. i >= prompt_len).
+            # Next token predicted from position i-1, written at i; decode
+            # only for prompt_len <= i < prompt_len + max_new_tokens.
             nxt = jnp.argmax(logits[i - 1]).astype(jnp.int32)
-            decode_here = (i >= prompt_len) & jnp.logical_not(finished)
+            decode_here = (
+                (i >= prompt_len)
+                & (i < prompt_len + max_new_tokens)
+                & jnp.logical_not(finished)
+            )
             nxt = jnp.where(decode_here, nxt, buf[i])
             buf = buf.at[i].set(nxt)
             finished = finished | (decode_here & (nxt == cfg.sep_token_id))
@@ -281,10 +334,15 @@ def make_caption_fn(cfg: BlipConfig, max_new_tokens: int = 40):
             (buf, jnp.asarray(False)),
             jnp.arange(1, L),
         )
-        # Length = position of first SEP at/after prompt_len (else L).
+        # Length = position of first SEP at/after prompt_len, else the last
+        # decoded position.
         pos = jnp.arange(L)
         is_end = (buf == cfg.sep_token_id) & (pos >= prompt_len)
-        length = jnp.where(jnp.any(is_end), jnp.argmax(is_end), L)
+        length = jnp.where(
+            jnp.any(is_end),
+            jnp.argmax(is_end),
+            jnp.minimum(prompt_len + max_new_tokens, L),
+        )
         buf = jnp.where(pos <= length, buf, cfg.pad_token_id)
         return buf, length.astype(jnp.int32)
 
@@ -296,8 +354,15 @@ def make_caption_fn(cfg: BlipConfig, max_new_tokens: int = 40):
 # ---------------------------------------------------------------------------
 
 
-def load_torch_state_dict(state_dict: Dict[str, Any], cfg: BlipConfig):
+def load_torch_state_dict(
+    state_dict: Dict[str, Any], cfg: BlipConfig, validate: bool = True
+):
     """Convert a torch ``BlipForConditionalGeneration.state_dict()``.
+
+    ``validate=True`` (default) checks the converted tree against the
+    model's expected structure via ``jax.eval_shape`` and raises listing
+    any missing/mismatched parameters — a partially-mapped checkpoint must
+    fail loudly here, not as an opaque apply error at caption time.
 
     Key map (HF -> here):
       vision_model.embeddings.{class_embedding,position_embedding,
@@ -412,5 +477,48 @@ def load_torch_state_dict(state_dict: Dict[str, Any], cfg: BlipConfig):
         ["text", "transform_ln"],
     )
     dense("text_decoder.cls.predictions.decoder", ["text", "decoder"])
+    # safetensors checkpoints drop tied duplicates: the decoder bias is then
+    # stored only as cls.predictions.bias.
+    if "text_decoder.cls.predictions.bias" in state_dict and "bias" not in (
+        params.get("text", {}).get("decoder", {})
+    ):
+        put(
+            ["text", "decoder", "bias"],
+            state_dict["text_decoder.cls.predictions.bias"],
+        )
 
-    return {"params": params}
+    variables = {"params": params}
+    if validate:
+        model = BlipForCaptioning(cfg)
+        expected = jax.eval_shape(
+            model.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32),
+        )
+        exp_paths = {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_leaves_with_path(expected)
+        }
+        got_paths = {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_leaves_with_path(variables)
+        }
+        problems = []
+        for path, shape in exp_paths.items():
+            if path not in got_paths:
+                problems.append(f"missing {path} {shape}")
+            elif got_paths[path] != shape:
+                problems.append(
+                    f"shape mismatch {path}: got {got_paths[path]}, want {shape}"
+                )
+        for path in got_paths:
+            if path not in exp_paths:
+                problems.append(f"unexpected {path}")
+        if problems:
+            raise ValueError(
+                "BLIP state dict conversion incomplete:\n  "
+                + "\n  ".join(sorted(problems)[:20])
+                + (f"\n  ... {len(problems) - 20} more" if len(problems) > 20 else "")
+            )
+    return variables

@@ -9,6 +9,8 @@ search.
 Backends:
   * ``blip``  — HuggingFace transformers BLIP on host torch (the reference
     path; lazily loaded, load errors captured like vlm_tagger.py:148-156).
+  * ``jax``   — the from-scratch on-TPU BLIP (models.blip); needs local
+    weights + tokenizer, falls back to the stub otherwise.
   * ``stub``  — deterministic caption synthesis from pipeline context
     (detections / ego state), so the extraction + search + statistics
     surface runs in weight-less environments and tests.
@@ -316,10 +318,12 @@ class _JaxBlipBackend:
             ids = tok["input_ids"][0].astype(np.int32)
             ids[0] = c.bos_token_id  # BLIP swaps [CLS] for its [DEC] token
             ids = ids[ids != c.sep_token_id]  # decode continues the prompt
-            cap = 16
+            # Round the buffer up to an 8-token bucket (one jit trace per
+            # bucket) instead of truncating long prompts.
+            n = len(ids)
+            cap = max(16, ((n + 7) // 8) * 8)
             buf = np.zeros((cap,), np.int32)
-            n = min(len(ids), cap)
-            buf[:n] = ids[:n]
+            buf[:n] = ids
             out_ids, length = self._caption(
                 self._params, px, jnp.asarray(buf), jnp.asarray(n)
             )
