@@ -198,7 +198,8 @@ def extract_frame(outs: Dict, dets_in: Dict, f: int) -> FrameResult:
                 hits=int(g("track_hits")[f, s]),
                 misses=int(g("track_misses")[f, s]),
                 trajectory=_unroll_ring(
-                    g("track_trajectory")[f, s], int(g("track_traj_len")[f, s])
+                    g("track_trajectory")[f, s].reshape(-1, 2),
+                    int(g("track_traj_len")[f, s]),
                 ),
                 velocity=(
                     tuple(g("track_velocity")[f, s].tolist()) if vel_count > 0 else None

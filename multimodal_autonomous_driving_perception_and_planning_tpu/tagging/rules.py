@@ -418,9 +418,14 @@ def make_tagging_step(cfg: PipelineConfig):
         centers = table.center  # (T, 2)
         widx = lens % H
         rows = jnp.arange(t_cap)
-        cur = state.int_centers[rows, widx]
-        new_val = jnp.where(confirmed[:, None], centers, cur)
-        int_centers = state.int_centers.at[rows, widx].set(new_val)
+        cur_x = state.int_centers[rows, 2 * widx]
+        cur_y = state.int_centers[rows, 2 * widx + 1]
+        int_centers = state.int_centers.at[rows, 2 * widx].set(
+            jnp.where(confirmed, centers[:, 0], cur_x)
+        )
+        int_centers = int_centers.at[rows, 2 * widx + 1].set(
+            jnp.where(confirmed, centers[:, 1], cur_y)
+        )
         new_lens = jnp.where(confirmed, lens + 1, lens)
 
         # Cut-in drift test uses oldest vs newest (:358-364), evaluated on
@@ -430,8 +435,8 @@ def make_tagging_step(cfg: PipelineConfig):
         hist_len = new_lens
         oldest_idx = jnp.where(hist_len < H, 0, hist_len % H)
         newest_idx = (hist_len - 1) % H
-        start_x = int_centers[rows, oldest_idx, 0]
-        end_x = int_centers[rows, newest_idx, 0]
+        start_x = int_centers[rows, 2 * oldest_idx]
+        end_x = int_centers[rows, 2 * newest_idx]
         cut_drift = jnp.abs(end_x - w / 2.0) < jnp.abs(start_x - w / 2.0)
 
         cx = (bbox[:, 0] + bbox[:, 2]) / 2.0

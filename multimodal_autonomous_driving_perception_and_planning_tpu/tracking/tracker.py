@@ -72,7 +72,7 @@ def tracker_update(
     """
     t_cap = table.track_id.shape[0]
     d_cap = dets.bbox.shape[0]
-    traj_cap = table.trajectory.shape[1]
+    traj_cap = table.trajectory.shape[1] // 2  # flat interleaved (T, 2*L)
 
     # --- associate -------------------------------------------------------
     iou = pairwise_iou(table.bbox, dets.bbox)
@@ -96,12 +96,17 @@ def tracker_update(
     velocity = jnp.where(matched[:, None], vel, table.velocity)
     vel_count = table.vel_count + matched.astype(jnp.int32)
 
-    # Trajectory ring append for matched slots.
+    # Trajectory ring append for matched slots (flat [x0, y0, x1, y1, ...]).
     widx = table.traj_len % traj_cap  # (T,)
     rows = jnp.arange(t_cap)
-    cur = table.trajectory[rows, widx]  # (T, 2)
-    written = jnp.where(matched[:, None], new_center, cur)
-    trajectory = table.trajectory.at[rows, widx].set(written)
+    cur_x = table.trajectory[rows, 2 * widx]
+    cur_y = table.trajectory[rows, 2 * widx + 1]
+    trajectory = table.trajectory.at[rows, 2 * widx].set(
+        jnp.where(matched, new_center[:, 0], cur_x)
+    )
+    trajectory = trajectory.at[rows, 2 * widx + 1].set(
+        jnp.where(matched, new_center[:, 1], cur_y)
+    )
     traj_len = table.traj_len + matched.astype(jnp.int32)
 
     table = TrackTable(
@@ -146,8 +151,8 @@ def tracker_update(
     src = det_order
 
     b_center = det_center[src]  # (K, 2)
-    b_traj = jnp.zeros((k_cap, traj_cap, 2), table.trajectory.dtype)
-    b_traj = b_traj.at[:, 0].set(b_center)
+    b_traj = jnp.zeros((k_cap, 2 * traj_cap), table.trajectory.dtype)
+    b_traj = b_traj.at[:, 0:2].set(b_center)
     zeros_k = jnp.zeros((k_cap,), jnp.int32)
 
     def scatter(dst, values):

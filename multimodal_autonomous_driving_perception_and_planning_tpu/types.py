@@ -75,7 +75,8 @@ class TrackTable:
     misses: Any  # (T,) int32
     # Trajectory ring buffer of box centers; traj_len counts valid entries
     # and saturates at the ring capacity (multi_object_tracker.py:199-205).
-    trajectory: Any  # (T, L, 2) float32
+    trajectory: Any  # (T, 2*L) float32, interleaved [x0, y0, x1, y1, ...]
+    # (flat layout: a trailing dim of 2 tiles at 2/128 lanes on TPU)
     traj_len: Any  # (T,) int32
     # Last frame-diff velocity; vel_count==0 means "no velocity yet" which the
     # reference models as velocities == [] (multi_object_tracker.py:34-39).
@@ -111,7 +112,7 @@ class TrackTable:
             age=jnp.zeros((capacity,), jnp.int32),
             hits=jnp.zeros((capacity,), jnp.int32),
             misses=jnp.zeros((capacity,), jnp.int32),
-            trajectory=jnp.zeros((capacity, trajectory_length, 2), jnp.float32),
+            trajectory=jnp.zeros((capacity, 2 * trajectory_length), jnp.float32),
             traj_len=jnp.zeros((capacity,), jnp.int32),
             velocity=jnp.zeros((capacity, 2), jnp.float32),
             vel_count=jnp.zeros((capacity,), jnp.int32),
@@ -228,7 +229,8 @@ class TaggingState:
     man_history: Any  # (H, 6) float32
     man_count: Any  # () int32
     # Interaction detector: per-track-slot center history ring.
-    int_centers: Any  # (T, H, 2) float32
+    int_centers: Any  # (T, 2*H) float32, interleaved [x0, y0, ...] (flat
+    # layout — a trailing dim of 2 tiles at 2/128 lanes on TPU)
     int_len: Any  # (T,) int32
     int_track_id: Any  # (T,) int32 id owning each history slot
     frame_count: Any  # () int32 (shared frame counter per tagger parity)
@@ -240,7 +242,7 @@ class TaggingState:
             scene_count=jnp.asarray(0, jnp.int32),
             man_history=jnp.zeros((history, 6), jnp.float32),
             man_count=jnp.asarray(0, jnp.int32),
-            int_centers=jnp.zeros((max_tracks, history, 2), jnp.float32),
+            int_centers=jnp.zeros((max_tracks, 2 * history), jnp.float32),
             int_len=jnp.zeros((max_tracks,), jnp.int32),
             int_track_id=jnp.zeros((max_tracks,), jnp.int32),
             frame_count=jnp.asarray(0, jnp.int32),
