@@ -195,6 +195,11 @@ def make_tagging_step(cfg: PipelineConfig):
         vote_winner = jnp.argmin(tie_key).astype(jnp.int32)
         use_vote = (n_hist >= 2) & (max_count > n_hist // 2)
         smoothed = jnp.where(use_vote, vote_winner, road_type)
+        # The reference mutates the history entry it just appended: classify()
+        # stores the SceneTags object in self.history and _smooth_tags then
+        # assigns current.road_type in place (scene_classifier.py:282-296), so
+        # later votes see this frame's *smoothed* road type, not the raw one.
+        votes = votes.at[widx].set(smoothed)
 
         # Conditions (scene_classifier.py:230-259).
         night = brightness < 60

@@ -355,6 +355,10 @@ class OracleSceneClassifier:
             top = max(votes, key=votes.get)
             if votes[top] > len(self.history) // 2:
                 smoothed = top
+        # The reference's _smooth_tags mutates the history entry it just
+        # appended (same SceneTags object), so later votes see the smoothed
+        # value (scene_classifier.py:282-296).
+        self.history[-1] = smoothed
         return ROAD_TYPES.index(smoothed), conf
 
 
