@@ -1,0 +1,193 @@
+"""Numeric converter parity against real torch/HF modules (offline).
+
+The round-1 converter tests were structural (synthetic shape-matched state
+dicts).  These tests build *actual* torch modules — a randomly initialized
+``transformers.BlipForConditionalGeneration`` and an ultralytics-layout
+Conv+BN block — export their ``state_dict()``, run the converters, and
+compare numerics end to end.  No weights are downloaded: random init via a
+local config is enough to prove the architecture + layout math
+(vlm_tagger.py:119-190 and detector.py:103-123 are the reference paths
+being matched).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from multimodal_autonomous_driving_perception_and_planning_tpu.models import (  # noqa: E402
+    blip as jblip,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.models import (  # noqa: E402
+    yolov8 as jyolo,
+)
+
+HIDDEN = 32
+LAYERS = 2
+HEADS = 2
+MLP = 64
+VOCAB = 64
+IMG = 64
+MAXPOS = 32
+
+
+@pytest.fixture(scope="module")
+def hf_blip():
+    from transformers import BlipConfig as HFBlipConfig
+    from transformers import BlipForConditionalGeneration
+
+    cfg = HFBlipConfig(
+        vision_config=dict(
+            image_size=IMG,
+            patch_size=16,
+            hidden_size=HIDDEN,
+            num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS,
+            intermediate_size=MLP,
+            layer_norm_eps=1e-5,
+            attention_dropout=0.0,
+        ),
+        text_config=dict(
+            vocab_size=VOCAB,
+            hidden_size=HIDDEN,
+            encoder_hidden_size=HIDDEN,
+            num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS,
+            intermediate_size=MLP,
+            max_position_embeddings=MAXPOS,
+            layer_norm_eps=1e-12,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            bos_token_id=1,
+            sep_token_id=2,
+            pad_token_id=0,
+            eos_token_id=2,
+            is_decoder=True,
+        ),
+    )
+    torch.manual_seed(0)
+    model = BlipForConditionalGeneration(cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_blip(hf_blip):
+    cfg = jblip.BlipConfig.tiny()
+    variables = jblip.load_torch_state_dict(hf_blip.state_dict(), cfg)
+    return cfg, variables
+
+
+def _rand_pixels(batch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, IMG, IMG, 3)).astype(np.float32)
+
+
+def test_blip_vision_states_match_hf(hf_blip, jax_blip):
+    cfg, variables = jax_blip
+    px = _rand_pixels()
+    with torch.no_grad():
+        want = (
+            hf_blip.vision_model(
+                pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()
+        )
+    model = jblip.BlipVisionModel(cfg)
+    got = np.asarray(
+        model.apply({"params": variables["params"]["vision"]}, jnp.asarray(px))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_blip_logits_match_hf(hf_blip, jax_blip):
+    cfg, variables = jax_blip
+    px = _rand_pixels(seed=1)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(3, VOCAB, size=(1, 7), dtype=np.int64)
+    ids[0, 0] = 1  # bos
+    with torch.no_grad():
+        out = hf_blip(
+            pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+            input_ids=torch.from_numpy(ids),
+        )
+    want = (out.logits if hasattr(out, "logits") else out.decoder_logits).numpy()
+    model = jblip.BlipForCaptioning(cfg)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(px), jnp.asarray(ids, jnp.int32))
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_blip_greedy_decode_matches_hf_generate(hf_blip, jax_blip):
+    cfg, variables = jax_blip
+    px = _rand_pixels(seed=3)
+    max_new = 8
+    # Greedy decode in torch, cache-free (HF generate trips an internal
+    # cache_position bug on this tiny offline config): argmax of the last
+    # position's logits, stop at sep — the same semantics generate
+    # (num_beams=1, do_sample=False) implements.
+    ids = torch.tensor([[1]])
+    px_t = torch.from_numpy(px.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for _ in range(max_new):
+            out = hf_blip(pixel_values=px_t, input_ids=ids)
+            logits = out.logits if hasattr(out, "logits") else out.decoder_logits
+            nxt = logits[0, -1].argmax().reshape(1, 1)
+            ids = torch.cat([ids, nxt], dim=1)
+            if int(nxt) == 2:
+                break
+    want = ids[0].numpy()
+    init_fn, caption_fn = jblip.make_caption_fn(cfg, max_new_tokens=max_new)
+    prompt = jnp.asarray([1], jnp.int32)
+    buf, length = jax.jit(caption_fn)(
+        variables, jnp.asarray(px), prompt, jnp.asarray(1, jnp.int32)
+    )
+    buf = np.asarray(buf)
+    # length points at the SEP if one was decoded, else at the end of the
+    # buffer; greedy torch output is bos + decoded tokens incl. the sep.
+    end = min(int(length) + 1, buf.shape[0])
+    got_tokens = buf[:end].tolist()
+    want_tokens = want.tolist()
+    assert got_tokens == want_tokens, (got_tokens, want_tokens)
+
+
+def test_yolo_convbn_matches_torch():
+    """One ultralytics-layout Conv(k3,s2,no-bias)+BN+SiLU block: converter
+    layout math (OIHW->HWIO, BN scale/bias/mean/var routing) vs torch."""
+
+    class UltraConv(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(cin, cout, 3, 2, 1, bias=False)
+            self.bn = torch.nn.BatchNorm2d(cout, eps=1e-3, momentum=0.03)
+
+        def forward(self, x):
+            return torch.nn.functional.silu(self.bn(self.conv(x)))
+
+    torch.manual_seed(0)
+    block = UltraConv(3, 16).eval()
+    # Non-trivial running stats so BN routing errors show up numerically.
+    with torch.no_grad():
+        block.bn.running_mean.normal_(0.1, 0.5)
+        block.bn.running_var.uniform_(0.5, 2.0)
+        block.bn.weight.normal_(1.0, 0.2)
+        block.bn.bias.normal_(0.0, 0.2)
+
+    sd = {f"model.0.{k}": v for k, v in block.state_dict().items()}
+    variables = jyolo.load_torch_state_dict(sd, variant="n")
+    sub = {
+        "params": variables["params"]["b0"],
+        "batch_stats": variables["batch_stats"]["b0"],
+    }
+
+    x = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(
+        jyolo.ConvBN(features=16, kernel=3, stride=2).apply(sub, jnp.asarray(x))
+    )
+    with torch.no_grad():
+        want = block(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5)
