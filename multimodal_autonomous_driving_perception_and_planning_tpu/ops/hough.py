@@ -35,6 +35,8 @@ class HoughLines(NamedTuple):
     valid: jnp.ndarray  # (L,) bool
     votes: jnp.ndarray  # (L,) int32
     length: jnp.ndarray  # (L,) float32
+    overflow: jnp.ndarray  # () bool — peak pool overflowed; selection was
+    #                        scan-order truncated, strongest line may be lost
 
 
 def compact_mask(flat: jnp.ndarray, capacity: int):
@@ -160,8 +162,10 @@ def hough_segments(
     # then top_k only the pool by vote count.  Ties keep pool order =
     # row-major scan order, matching the old full top_k's tie behavior.
     # Only if more than pool_size bins peak simultaneously (not reachable
-    # at lane vote thresholds) could a strong line be dropped.
+    # at lane vote thresholds) could a strong line be dropped — the
+    # ``overflow`` flag in the result makes that truncation detectable.
     pool_size = max(4 * max_lines, 256)
+    total_peaks = jnp.sum(is_peak.astype(jnp.int32))
     pool_idx, pool_valid = compact_mask(is_peak.reshape(-1), pool_size)
     pool_scores = jnp.where(pool_valid, acc.reshape(-1)[pool_idx], 0.0)
     scores, in_pool = jax.lax.top_k(pool_scores, max_lines)
@@ -221,4 +225,5 @@ def hough_segments(
         valid=keep,
         votes=scores.astype(jnp.int32),
         length=length,
+        overflow=total_peaks > pool_size,
     )

@@ -61,8 +61,9 @@ def make_multicamera_runner(cfg: PipelineConfig, mesh: Mesh):
         # (each stacked array costs one dynamic-update-slice per frame).
         new_state, out = step(carry, xs)
         packed, spec = pack_tree(out)
-        if not spec_cell:
-            spec_cell.append(spec)
+        # Overwrite on every trace so a retrace never unpacks with a stale
+        # spec (the spec is static Python data; see pipeline.make_sequence_runner).
+        spec_cell[:] = [spec]
         return new_state, packed
 
     def per_camera_scan(state, inputs):

@@ -248,8 +248,10 @@ def make_sequence_runner(cfg: PipelineConfig, donate: bool = True):
     def body(carry, xs):
         new_state, out = step(carry, xs)
         packed, spec = pack_tree(out)
-        if not spec_cell:
-            spec_cell.append(spec)
+        # Overwrite on every trace: the spec is static Python data, and a
+        # retrace with different input shapes must not unpack with a stale
+        # spec from the first trace.
+        spec_cell[:] = [spec]
         return new_state, packed
 
     def run(state: PipelineState, inputs: Dict[str, Any]):

@@ -32,6 +32,24 @@ def test_hough_finds_a_drawn_line():
         ) < 6.0, (seg, want)
 
 
+def test_hough_overflow_flag():
+    """Pool truncation is detectable: a pathological low-threshold dense
+    edge field sets ``overflow``; normal lane scenes do not."""
+    img = np.zeros((480, 640), np.uint8)
+    cv2.line(img, (100, 400), (300, 100), 255, 1)
+    hl = hough_segments(jnp.asarray(img > 0), vote_threshold=50, min_line_length=50.0)
+    assert not bool(hl.overflow)
+
+    # Checkerboard edges at vote_threshold=1: thousands of simultaneous
+    # 1-vote peaks blow past the 256-entry pool.
+    rng = np.random.default_rng(0)
+    noise = rng.random((480, 640)) > 0.5
+    hl2 = hough_segments(
+        jnp.asarray(noise), vote_threshold=1, min_line_length=1.0
+    )
+    assert bool(hl2.overflow)
+
+
 def test_lane_step_recovers_ground_truth_lanes():
     gen = SyntheticRoadGenerator()
     frame = gen.generate_frame_with_vehicles()

@@ -75,6 +75,51 @@ def test_frame_timer_contract():
     assert "Processed 10 frames" in t.summary()
 
 
+def test_nan_debug_trips_on_injected_nan():
+    """The sanitizer hook (SURVEY §5) raises at the producing op."""
+    import jax
+    import pytest
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils import (
+        nan_debug,
+    )
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x)  # log(-1) -> NaN
+
+    with nan_debug():
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(bad(jnp.asarray(-1.0)))
+    # Outside the scope the same computation passes silently.
+    assert np.isnan(float(bad(jnp.asarray(-1.0))))
+
+
+def test_validate_outputs_names_bad_leaf(monkeypatch):
+    import pytest
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils import (
+        validate_if_enabled,
+        validate_outputs,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.sanitizer import (
+        ENV_VALIDATE,
+    )
+
+    clean = {"a": jnp.ones((3,)), "b": {"c": jnp.zeros((2, 2))}}
+    validate_outputs(clean)  # no raise
+
+    dirty = {"a": jnp.ones((3,)), "b": {"c": jnp.asarray([[1.0, np.nan], [np.inf, 0.0]])}}
+    with pytest.raises(ValueError, match=r"\['b'\]\['c'\]"):
+        validate_outputs(dirty, name="scan outputs")
+
+    monkeypatch.setenv(ENV_VALIDATE, "0")
+    validate_if_enabled(dirty)  # gated off -> no raise
+    monkeypatch.setenv(ENV_VALIDATE, "1")
+    with pytest.raises(ValueError):
+        validate_if_enabled(dirty)
+
+
 def test_metrics_logger_jsonl(tmp_path):
     path = tmp_path / "m.jsonl"
     log = MetricsLogger(str(path))
