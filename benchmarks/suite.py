@@ -121,8 +121,7 @@ def _scan_bench_fn(cfg, reps):
         # Same packed-output scan body as make_sequence_runner.
         new_state, out = step(carry, xs)
         packed, spec = pack_tree(out)
-        if not spec_cell:
-            spec_cell.append(spec)
+        spec_cell[:] = [spec]  # overwrite per trace; never unpack a stale spec
         return new_state, packed
 
     def fn(nonce, inputs):
@@ -228,9 +227,44 @@ def bench_sequence(repeats, num_frames=300, reps=20):
     )
 
 
-def bench_yolo(repeats, batch=64):
-    """Streaming detection throughput: one dispatch processes a 64-frame
-    clip (bf16 convs on the MXU) of incompressible (random) frames."""
+# Peak dense matmul throughput per chip, bf16 inputs / f32 accumulation.
+# Sources: public TPU spec sheets (per-chip, not per-pod).
+_TPU_PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _device_peak_tflops():
+    kind = jax.devices()[0].device_kind
+    for name, peak in _TPU_PEAK_BF16_TFLOPS.items():
+        if name.lower() in kind.lower():
+            return peak, kind
+    return None, kind
+
+
+def _compiled_flops(f, *args):
+    """XLA's own FLOP estimate for one call of jitted ``f``."""
+    try:
+        analysis = f.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_yolo(repeats, batch=64, reps=10):
+    """Streaming detection throughput: each jitted call processes ``reps``
+    64-frame clips (bf16 convs on the MXU) of incompressible (random)
+    frames, chained on the running digest so the tunnel's ~30 ms dispatch
+    floor amortizes over reps x batch frames (a single-clip dispatch
+    under-reports throughput ~2x).  Emits an MFU line: XLA-counted FLOPs /
+    measured steady-state time / chip peak."""
     from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
         make_yolo_detector,
     )
@@ -242,18 +276,97 @@ def bench_yolo(repeats, batch=64):
         jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3)).astype(np.float32))
     )
 
+    def one_clip(variables, frames):
+        return jax.vmap(detect_fn, in_axes=(None, 0))(variables, frames)
+
     def fn(nonce, variables, frames):
-        out = jax.vmap(detect_fn, in_axes=(None, 0))(variables, frames + nonce)
-        return _tree_digest(out)
+        def body(carry, _):
+            d, _z = carry
+            out = one_clip(variables, frames + nonce + d * 1e-30)
+            return (d + _tree_digest(out), 0), None
+
+        (digest, _), _ = jax.lax.scan(body, (nonce, 0), None, length=reps)
+        return digest
 
     f = jax.jit(fn)
     best, p50 = _time_digest(f, variables, frames, repeats=repeats)
+    floor, _ = measure_dispatch_floor(3)
+    per_batch = max(best - floor, 1e-9) / reps
+    total = batch * reps
+
+    # FLOPs of ONE clip (the repped program reports reps x this).
+    g = jax.jit(
+        lambda nonce, v, x: _tree_digest(one_clip(v, x + nonce))
+    )
+    flops = _compiled_flops(g, jnp.float32(0.0), variables, frames)
+    peak, kind = _device_peak_tflops()
+    extra = {}
+    if flops:
+        tflops = flops / per_batch / 1e12
+        extra["achieved_tflops"] = round(tflops, 2)
+        extra["xla_gflops_per_batch"] = round(flops / 1e9, 1)
+        if peak:
+            extra["mfu_pct"] = round(100.0 * tflops / peak, 2)
+            extra["chip"] = kind
     emit(
         "yolov8n_detect_fps_640",
-        batch / best,
+        batch / per_batch,
         "frames/s",
         batch=batch,
-        p50_ms_per_batch=round(p50 * 1e3, 2),
+        reps=reps,
+        ms_per_batch=round(per_batch * 1e3, 2),
+        p50_ms_per_call=round(p50 * 1e3, 2),
+        **extra,
+    )
+
+
+def bench_yolo_e2e(repeats, num_frames=64, batch=16):
+    """BASELINE config 3 end-to-end, fused: camera frames in -> YOLO ->
+    tracker -> ego estimator -> planner -> plans out, ONE device program."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        ego_motion_stream,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.detector import (
+        make_yolo_sequence_runner,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    init_fn, run = make_yolo_sequence_runner(cfg, batch=batch)
+    variables = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        jnp.asarray(rng.integers(0, 255, (num_frames, 480, 640, 3)).astype(np.float32))
+    )
+    ego = jax.device_put(
+        jnp.asarray(ego_motion_stream(num_frames, seed=0), jnp.float32)
+    )
+
+    reps = 5
+
+    def fn(nonce, variables, frames, ego):
+        def body(carry, _):
+            d, _z = carry
+            state0 = initial_state(cfg)
+            _, outs = run(variables, state0, frames + nonce + d * 1e-30, ego + nonce)
+            return (d + _tree_digest(outs), 0), None
+
+        (digest, _), _ = jax.lax.scan(body, (nonce, 0), None, length=reps)
+        return digest
+
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, variables, frames, ego, repeats=repeats)
+    floor, _ = measure_dispatch_floor(3)
+    per = max(best - floor, 1e-9) / reps
+    emit(
+        "yolo_e2e_frames_to_plans_fps",
+        num_frames / per,
+        "frames/s",
+        frames_per_call=num_frames * reps,
+        p50_ms=round(p50 * 1e3, 2),
     )
 
 
@@ -294,6 +407,62 @@ def bench_dense_traffic(repeats, num_frames=300, reps=10):
         "frames/s",
         tracks=64,
         p50_ms_per_300f=round(p50 / reps * 1e3, 3),
+    )
+
+
+def bench_kalman_bank(repeats, num_frames=300, agents=64, reps=20):
+    """Opt-in per-agent Kalman smoothing bank over a 300-frame, 64-agent
+    track stream: vmapped predict/Joseph-update per slot inside the time
+    scan (the reference has no per-track filter; parity-neutral)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.tracking.kalman_bank import (
+        make_kalman_bank,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(
+        tracker=DEFAULT_CONFIG.tracker.__class__(max_tracks=agents)
+    )
+    rng = np.random.default_rng(0)
+    T, N = num_frames, agents
+    path = np.cumsum(rng.normal(2.0, 0.5, (T, N, 2)), axis=0).astype(np.float32)
+    bbox = np.zeros((T, N, 4), np.float32)
+    bbox[..., 0] = path[..., 0] - 10
+    bbox[..., 2] = path[..., 0] + 10
+    bbox[..., 1] = path[..., 1] - 10
+    bbox[..., 3] = path[..., 1] + 10
+    outs = jax.device_put(
+        {
+            "track_id": jnp.asarray(np.tile(np.arange(1, N + 1, dtype=np.int32), (T, 1))),
+            "track_bbox": jnp.asarray(bbox),
+            "track_velocity": jnp.asarray(np.zeros((T, N, 2), np.float32)),
+            "track_vel_count": jnp.asarray(np.ones((T, N), np.int32)),
+        }
+    )
+    smooth = make_kalman_bank(cfg)
+
+    def fn(nonce, outs):
+        def body(carry, _):
+            d, _z = carry
+            perturbed = dict(outs)
+            perturbed["track_bbox"] = outs["track_bbox"] + nonce + d * 1e-30
+            s = smooth(perturbed)
+            return (d + _tree_digest(s), 0), None
+
+        (digest, _), _ = jax.lax.scan(body, (nonce, 0), None, length=reps)
+        return digest
+
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, outs, repeats=repeats)
+    floor, _ = measure_dispatch_floor(3)
+    per = max(best - floor, 1e-9) / reps
+    emit(
+        "kalman_bank_64agent_fps",
+        num_frames / per,
+        "frames/s",
+        agents=agents,
+        us_per_frame=round(per / num_frames * 1e6, 2),
     )
 
 
@@ -374,6 +543,76 @@ def bench_frames(repeats, num_frames=120, reps=3):
     )
 
 
+def bench_streaming_overlap(repeats, total=192, chunk=64):
+    """Frames-mode throughput with host decode overlapped vs serial.
+
+    Overlapped: the native C++ ring produces frames while the device
+    executes the previous chunk (async dispatch).  Serial: decode the next
+    chunk only after blocking on the previous chunk's results — the
+    reference's decode-then-compute loop shape.  Wall-clock end-to-end
+    (host decode included), so the nonce/digest trick does not apply; the
+    per-run inputs differ (fresh ring + per-rep ego nonce) which defeats
+    same-args caching.
+    """
+    import time as _time
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+        make_sequence_runner,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.runtime import (
+        NativeFrameSource,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.runtime.stream import (
+        _chunk_inputs,
+        run_stream,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+
+    def one_overlapped():
+        with NativeFrameSource(
+            width=cfg.frame_width, height=cfg.frame_height,
+            slots=chunk * 2, num_frames=total,
+        ) as src:
+            t0 = _time.perf_counter()
+            _, stats = run_stream(cfg, src, total, chunk=chunk, collect_host=False)
+            return _time.perf_counter() - t0
+
+    def one_serial():
+        runner = make_sequence_runner(cfg, donate=False)
+        state = initial_state(cfg)
+        with NativeFrameSource(
+            width=cfg.frame_width, height=cfg.frame_height,
+            slots=chunk * 2, num_frames=total,
+        ) as src:
+            t0 = _time.perf_counter()
+            start = 0
+            while start < total:
+                frames = src.next_batch(chunk)
+                if frames.shape[0] == 0:
+                    break
+                _, inputs = _chunk_inputs(cfg, frames, start, 1.0 / 30.0)
+                state, outs = runner(state, inputs)
+                # Serial: block before decoding the next chunk.
+                jax.block_until_ready(outs["plan_best"])
+                start += frames.shape[0]
+            return _time.perf_counter() - t0
+
+    one_overlapped()  # warm compile (shared program shape with serial)
+    ov = min(one_overlapped() for _ in range(max(2, repeats // 2)))
+    se = min(one_serial() for _ in range(max(2, repeats // 2)))
+    emit(
+        "streaming_overlap_fps",
+        total / ov,
+        "frames/s",
+        serial_fps=round(total / se, 1),
+        overlap_speedup=round(se / ov, 3),
+        chunk=chunk,
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -391,9 +630,12 @@ def main():
     bench_single_step(repeats)
     bench_sequence(repeats)
     bench_yolo(repeats)
+    bench_yolo_e2e(repeats)
     bench_dense_traffic(repeats)
+    bench_kalman_bank(repeats)
     bench_multicamera(repeats)
     bench_frames(repeats)
+    bench_streaming_overlap(repeats)
 
 
 if __name__ == "__main__":

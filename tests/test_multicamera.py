@@ -1,10 +1,20 @@
-"""Multi-camera sharding over a virtual 8-device CPU mesh."""
+"""Multi-camera sharding over a virtual 8-device CPU mesh.
+
+Content-correctness hardening (round-1 verdict): every camera carries a
+*distinct* stream, and each camera's sharded output is compared against
+its own independent single-device run — a camera-axis transpose or shard
+mix-up cannot pass these tests.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_autonomous_driving_perception_and_planning_tpu import DEFAULT_CONFIG
+from multimodal_autonomous_driving_perception_and_planning_tpu import (
+    DEFAULT_CONFIG,
+    initial_state,
+    make_sequence_runner,
+)
 from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
     ego_motion_stream,
     simulated_detection_stream,
@@ -16,20 +26,37 @@ from multimodal_autonomous_driving_perception_and_planning_tpu.parallel.mesh imp
 )
 
 
-def make_inputs(n_cameras, num_frames):
-    dets = simulated_detection_stream(num_frames)
-    ego = ego_motion_stream(num_frames, seed=0)
-    # Same stream replicated per camera (content does not matter here).
-    def rep(x):
-        return jnp.broadcast_to(jnp.asarray(x), (n_cameras,) + np.asarray(x).shape)
-
+def _camera_stream(cam, num_frames):
+    """A per-camera distinct input dict (different detector counter phase
+    and ego-noise seed per camera)."""
+    dets = simulated_detection_stream(num_frames, start_frame_count=1 + 7 * cam)
+    ego = ego_motion_stream(num_frames, seed=cam)
     return {
-        "bbox": rep(dets["bbox"]),
-        "class_id": rep(dets["class_id"]),
-        "confidence": rep(dets["confidence"]),
-        "valid": rep(dets["valid"]),
-        "ego_measurement": rep(ego.astype(np.float32)),
+        "bbox": np.asarray(dets["bbox"]),
+        "class_id": np.asarray(dets["class_id"]),
+        "confidence": np.asarray(dets["confidence"]),
+        "valid": np.asarray(dets["valid"]),
+        "ego_measurement": ego.astype(np.float32),
     }
+
+
+def make_inputs(n_cameras, num_frames, frames=None):
+    streams = [_camera_stream(c, num_frames) for c in range(n_cameras)]
+    out = {
+        k: jnp.asarray(np.stack([s[k] for s in streams]))
+        for k in streams[0]
+    }
+    if frames is not None:
+        out["frame"] = jnp.asarray(frames)
+    return out, streams
+
+
+def _single_run(cfg, stream, frames=None):
+    run = make_sequence_runner(cfg, donate=False)
+    inputs = {k: jnp.asarray(v) for k, v in stream.items()}
+    if frames is not None:
+        inputs["frame"] = jnp.asarray(frames)
+    return run(initial_state(cfg), inputs)
 
 
 def test_eight_camera_sharded_pipeline():
@@ -39,51 +66,90 @@ def test_eight_camera_sharded_pipeline():
     mesh = make_camera_mesh(n)
     runner = make_multicamera_runner(cfg, mesh)
     states = stack_states(cfg, n)
-    inputs = make_inputs(n, 30)
+    inputs, streams = make_inputs(n, 30)
     final, outs, fleet = runner(states, inputs)
-    assert np.asarray(outs["num_confirmed"]).shape == (n, 30)
-    # All cameras see the same stream -> identical outputs per camera.
     nc = np.asarray(outs["num_confirmed"])
-    assert (nc == nc[0]).all()
-    # Fleet psum = per-camera count x n.
+    assert nc.shape == (n, 30)
+    # Distinct streams -> the cameras must NOT all agree (transpose guard).
+    tid = np.asarray(outs["track_id"])
+    assert any(
+        not np.array_equal(tid[c], tid[0]) or not np.array_equal(nc[c], nc[0])
+        for c in range(1, n)
+    )
+    # Fleet psum = sum over cameras of each camera's own counts.
     np.testing.assert_array_equal(
-        np.asarray(fleet["fleet_confirmed_per_frame"]), nc[0] * n
+        np.asarray(fleet["fleet_confirmed_per_frame"]), nc.sum(axis=0)
     )
 
 
-def test_multicamera_matches_single_camera():
+def test_every_camera_matches_its_single_device_run():
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
-    mesh = make_camera_mesh(4)
+    n_cam = 4
+    mesh = make_camera_mesh(n_cam)
     runner = make_multicamera_runner(cfg, mesh)
-    states = stack_states(cfg, 4)
-    inputs = make_inputs(4, 20)
+    states = stack_states(cfg, n_cam)
+    inputs, streams = make_inputs(n_cam, 20)
     _, outs, _ = runner(states, inputs)
 
-    from multimodal_autonomous_driving_perception_and_planning_tpu import (
-        initial_state,
-        make_sequence_runner,
+    for cam in range(n_cam):
+        _, souts = _single_run(cfg, streams[cam])
+        np.testing.assert_array_equal(
+            np.asarray(outs["track_id"])[cam],
+            np.asarray(souts["track_id"]),
+            err_msg=f"camera {cam} track ids",
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["plan_costs"])[cam],
+            np.asarray(souts["plan_costs"]),
+            rtol=1e-5,
+            err_msg=f"camera {cam} plan costs",
+        )
+
+
+def test_multicamera_frames_mode_full_stack():
+    """Frames-mode sharding: each camera runs the full image stack (Canny +
+    Hough lanes + scene features) on its own distinct frame stream, and
+    matches its independent single-device run."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
     )
 
-    single = make_sequence_runner(cfg, donate=False)
-    dets = simulated_detection_stream(20)
-    ego = ego_motion_stream(20, seed=0)
-    _, souts = single(
-        initial_state(cfg),
-        {
-            "bbox": jnp.asarray(dets["bbox"]),
-            "class_id": jnp.asarray(dets["class_id"]),
-            "confidence": jnp.asarray(dets["confidence"]),
-            "valid": jnp.asarray(dets["valid"]),
-            "ego_measurement": jnp.asarray(ego, jnp.float32),
-        },
+    h, w, T, n_cam = 120, 160, 6, 2
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=True, enable_tagging=True, frame_height=h, frame_width=w
     )
-    np.testing.assert_array_equal(
-        np.asarray(outs["track_id"])[0], np.asarray(souts["track_id"])
-    )
-    np.testing.assert_allclose(
-        np.asarray(outs["plan_costs"])[0],
-        np.asarray(souts["plan_costs"]),
-        rtol=1e-5,
+    # Distinct per-camera videos: different dash phase via frame offset.
+    frames = []
+    for cam in range(n_cam):
+        gen = SyntheticRoadGenerator(width=w, height=h)
+        clip = gen.generate_frames(T + 3 * cam)[3 * cam :]
+        frames.append(clip)
+    frames = np.stack(frames)  # (C, T, H, W, 3)
+
+    mesh = make_camera_mesh(n_cam)
+    runner = make_multicamera_runner(cfg, mesh)
+    states = stack_states(cfg, n_cam)
+    inputs, streams = make_inputs(n_cam, T, frames=frames)
+    _, outs, _ = runner(states, inputs)
+
+    assert "lane_obs" in outs
+    for cam in range(n_cam):
+        _, souts = _single_run(cfg, streams[cam], frames=frames[cam])
+        np.testing.assert_array_equal(
+            np.asarray(outs["track_id"])[cam], np.asarray(souts["track_id"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["lane_obs"].left_fit)[cam],
+            np.asarray(souts["lane_obs"].left_fit),
+            rtol=1e-4,
+            atol=1e-6,
+            err_msg=f"camera {cam} lane fit",
+        )
+    # The two cameras' lane observations must differ somewhere (distinct
+    # dash phases) — guards against a broadcast shard mix-up.
+    a = np.asarray(outs["lane_obs"].left_confidence)
+    assert not np.array_equal(a[0], a[1]) or not np.array_equal(
+        np.asarray(outs["track_id"])[0], np.asarray(outs["track_id"])[1]
     )
 
 
@@ -91,8 +157,6 @@ def test_tensor_parallel_yolo_matches_unsharded():
     """DP x TP sharded detection over a (data=2, model=4) mesh: GSPMD
     shards conv output channels + the frame batch; results must match the
     single-device detector."""
-    import numpy as np
-
     from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
         make_yolo_detector,
     )
