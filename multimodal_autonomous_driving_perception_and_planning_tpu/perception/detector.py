@@ -63,6 +63,88 @@ def make_yolo_frontend(
     return init_fn, stream_fn
 
 
+def make_yolo_sequence_runner(
+    cfg: PipelineConfig,
+    variant: str = "n",
+    batch: int = 8,
+    score_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    compute_dtype=None,
+    map_to_taxonomy: bool = True,
+    img_size: int = 640,
+):
+    """BASELINE config 3 as one fused device program: camera frames in ->
+    YOLO detection -> tracker -> ego estimation -> planner -> plans out,
+    a single jitted dispatch (reference: detector.model(frame) per frame
+    inside the demo loop, src/perception/detector.py:103-123 +
+    demo.py:97-177).
+
+    Returns (init_fn, run) where
+      run(variables, state, frames (T,H,W,3), ego (T,4)) -> (state', outs).
+
+    Detection batches over frames on the MXU first (lax.map of a vmapped
+    detect over ``batch``-frame chunks bounds peak activation memory); the
+    sequential tracker/planner scan then consumes the detection tables —
+    no host round-trip between the stages.  If ``cfg.use_frames`` is set
+    the raw frames also feed the lane/scene stack inside the scan.
+    """
+    import jax.numpy as jnp
+
+    from ..models.yolov8 import make_yolo_detector
+    from ..pipeline import make_pipeline_step, pack_tree, unpack_tree
+    from ..types import Detections
+
+    kwargs = {}
+    if compute_dtype is not None:
+        kwargs["compute_dtype"] = compute_dtype
+    init_fn, detect_fn = make_yolo_detector(
+        variant=variant,
+        max_det=cfg.detector.max_detections,
+        score_threshold=score_threshold,
+        iou_threshold=iou_threshold,
+        map_to_taxonomy=map_to_taxonomy,
+        img_size=img_size,
+        **kwargs,
+    )
+    step = make_pipeline_step(cfg)
+    spec_cell: list = []
+
+    def body(carry, xs):
+        new_state, out = step(carry, xs)
+        packed, spec = pack_tree(out)
+        spec_cell[:] = [spec]
+        return new_state, packed
+
+    def run(variables, state, frames, ego):
+        t = frames.shape[0]
+        pad = (-t) % batch
+        padded = jnp.concatenate(
+            [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)], axis=0
+        )
+        chunks = padded.reshape((-1, batch) + frames.shape[1:])
+        dets = jax.lax.map(
+            jax.vmap(lambda f: detect_fn(variables, f)), chunks
+        )
+        dets = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:t], dets
+        )
+        scan_in = {
+            "detections": Detections(
+                bbox=dets["bbox"],
+                class_id=dets["class_id"],
+                confidence=dets["confidence"],
+                valid=dets["valid"],
+            ),
+            "ego_measurement": ego.astype(jnp.float32),
+        }
+        if cfg.use_frames:
+            scan_in["frame"] = frames
+        final, packed = jax.lax.scan(body, state, scan_in)
+        return final, unpack_tree(packed, spec_cell[0])
+
+    return init_fn, jax.jit(run)
+
+
 class ObjectDetector:
     """Host-facing detector with the reference's constructor/API surface.
 

@@ -182,6 +182,74 @@ def test_yolo_stream_feeds_pipeline():
     assert np.asarray(outs["plan_best"]).shape == (6,)
 
 
+def test_fused_yolo_sequence_runner_matches_two_stage_chain():
+    """BASELINE config 3, fused: frames -> YOLO -> tracker -> planner in
+    one jitted dispatch must equal the two-dispatch chain (detect_stream
+    then make_sequence_runner) bit-for-bit on track ids."""
+    import jax
+    import jax.numpy as jnp_
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+        make_sequence_runner,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        ego_motion_stream,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
+        make_yolo_detector,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.detector import (
+        make_yolo_sequence_runner,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    # Low threshold so a random-init model yields real detections.
+    # map_to_taxonomy off: a random-init model's argmax class is spatially
+    # uniform, and if it lands on an unmapped COCO class the taxonomy
+    # filter would drop every detection.
+    init_fn, run = make_yolo_sequence_runner(
+        cfg,
+        batch=4,
+        score_threshold=0.05,
+        compute_dtype=jnp_.float32,
+        map_to_taxonomy=False,
+        img_size=160,
+    )
+    variables = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    frames = jnp_.asarray(
+        rng.integers(0, 255, (6, 480, 640, 3)).astype(np.float32)
+    )
+    ego = jnp_.asarray(ego_motion_stream(6, seed=0), jnp_.float32)
+    final, outs = run(variables, initial_state(cfg), frames, ego)
+
+    # Detections must actually flow into the tracker.
+    _, detect_fn = make_yolo_detector(
+        max_det=cfg.detector.max_detections,
+        score_threshold=0.05,
+        compute_dtype=jnp_.float32,
+        map_to_taxonomy=False,
+        img_size=160,
+    )
+    stream = jax.vmap(detect_fn, in_axes=(None, 0))(variables, frames)
+    assert np.asarray(stream["valid"]).any(), "random-init must emit detections"
+
+    inputs = {k: v for k, v in stream.items()}
+    inputs["ego_measurement"] = ego
+    two_stage = make_sequence_runner(cfg, donate=False)
+    _, ref_outs = two_stage(initial_state(cfg), inputs)
+    np.testing.assert_array_equal(
+        np.asarray(outs["track_id"]), np.asarray(ref_outs["track_id"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["plan_costs"]),
+        np.asarray(ref_outs["plan_costs"]),
+        rtol=1e-6,
+    )
+
+
 def test_nms_suppression_chain_fixpoint():
     """A chain a>b>c>d... where each suppresses the next forces multiple
     fixpoint rounds (kept, suppressed, kept, suppressed...)."""
