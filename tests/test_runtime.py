@@ -70,6 +70,62 @@ def test_missing_rawfile_ends_immediately(tmp_path):
         assert src.next_frame(timeout_ms=500) is None
 
 
+def test_run_stream_chunked_matches_monolithic_scan(tmp_path):
+    """Overlapped chunked streaming (native ring -> fused scans with state
+    chained across chunks) is bit-identical to one monolithic scan."""
+    import jax.numpy as jnp
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+        make_sequence_runner,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        ego_motion_stream,
+        simulated_detection_stream,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.runtime.stream import (
+        run_stream,
+    )
+
+    h, w, total, chunk = 120, 160, 20, 8  # last chunk padded (20 = 8+8+4)
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=True, enable_tagging=True, frame_height=h, frame_width=w
+    )
+    frames = SyntheticRoadGenerator(width=w, height=h).generate_frames(total)
+    raw = tmp_path / "clip.raw"
+    raw.write_bytes(frames.tobytes())
+
+    with NativeFrameSource(
+        width=w, height=h, slots=4, num_frames=total, raw_path=str(raw)
+    ) as src:
+        outs, stats = run_stream(cfg, src, total, chunk=chunk)
+    assert stats["frames"] == total and stats["fps"] > 0
+
+    dets = simulated_detection_stream(
+        total, height=h, width=w, capacity=cfg.detector.max_detections
+    )
+    ego = ego_motion_stream(total, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    inputs["frame"] = jnp.asarray(frames)
+    run = make_sequence_runner(cfg, donate=False)
+    _, ref = run(initial_state(cfg), inputs)
+
+    np.testing.assert_array_equal(
+        np.asarray(outs["track_id"]), np.asarray(ref["track_id"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["plan_costs"]), np.asarray(ref["plan_costs"]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["num_confirmed"]), np.asarray(ref["num_confirmed"])
+    )
+
+
 def test_native_frames_feed_lane_detector():
     """The C++ synthetic frames must exercise the device lane pipeline."""
     import jax
