@@ -1,10 +1,14 @@
-"""Zero-dependency web dashboard (stdlib http.server).
+"""Zero-dependency web dashboard (stdlib http.server), progressive.
 
 Functional stand-in for the reference's Streamlit dashboard when streamlit
-is unavailable: processes a sequence once through the fused device pipeline,
-then serves an interactive scrubber over the rendered frames plus live tag
-statistics, high-risk listing, and tag search — the same surfaces as
-app.py's three tabs (Live View / Auto-Tags / Metrics & Search).
+is unavailable — the same surfaces as app.py's three tabs (Live View /
+Auto-Tags / Metrics & Search), and unlike round 1 it streams
+*progressively*: the device pipeline runs chunk by chunk (state chained
+across chunks, bit-identical to one monolithic scan — see
+runtime/stream.py), and each chunk's rendered frames/tags appear in the
+dashboard as soon as they land, so the user scrubs early frames while later
+ones are still computing — matching the reference's interactive scrubbing
+during processing (app.py:780-785).
 
 Run: python app.py --backend web [--video path | --synthetic] [--port 8700]
 """
@@ -14,7 +18,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -31,15 +35,19 @@ _PAGE = """<!DOCTYPE html>
         padding: 2px 9px; margin: 2px; font-size: 13px; }
  .risk-high, .risk-critical { background: #7a2d2d; }
  pre { white-space: pre-wrap; }
+ #progress { height: 6px; background: #333; border-radius: 3px; }
+ #bar { height: 6px; background: #3c79a8; border-radius: 3px; width: 0%; }
 </style></head>
 <body>
 <h2>Multimodal AV Perception &amp; Planning — TPU Pipeline Dashboard</h2>
 <div class="card">
-  <input type="range" id="slider" min="0" max="{max_frame}" value="0">
-  <div>Frame <span id="fidx">0</span> / {max_frame}</div>
+  <div id="progress"><div id="bar"></div></div>
+  <div><span id="ready">0</span> / {total} frames processed</div>
+  <input type="range" id="slider" min="0" max="0" value="0">
+  <div>Frame <span id="fidx">0</span></div>
 </div>
 <div class="row">
-  <div class="card"><h3>Combined view</h3><img id="view" src="/frame?i=0" width="900"></div>
+  <div class="card"><h3>Combined view</h3><img id="view" src="" width="900"></div>
   <div class="card" style="min-width:300px"><h3>Frame tags</h3><div id="tags"></div>
     <h3>Vehicle state</h3><pre id="state"></pre></div>
 </div>
@@ -51,6 +59,7 @@ _PAGE = """<!DOCTYPE html>
 </div>
 <script>
 const slider = document.getElementById('slider');
+let firstReady = false;
 function update(i) {
   document.getElementById('fidx').textContent = i;
   document.getElementById('view').src = '/frame?i=' + i;
@@ -61,9 +70,23 @@ function update(i) {
   });
 }
 slider.oninput = () => update(slider.value);
-fetch('/stats').then(r => r.json()).then(d => {
-  document.getElementById('stats').textContent = JSON.stringify(d, null, 1);
-});
+function poll() {
+  fetch('/status').then(r => r.json()).then(d => {
+    document.getElementById('ready').textContent = d.ready;
+    document.getElementById('bar').style.width = (100 * d.ready / d.total) + '%';
+    if (d.ready > 0) {
+      slider.max = d.ready - 1;
+      if (!firstReady) { firstReady = true; update(0); refreshStats(); }
+    }
+    if (d.ready < d.total) setTimeout(poll, 700);
+    else refreshStats();
+  });
+}
+function refreshStats() {
+  fetch('/stats').then(r => r.json()).then(d => {
+    document.getElementById('stats').textContent = JSON.stringify(d, null, 1);
+  });
+}
 function search() {
   fetch('/search?q=' + encodeURIComponent(document.getElementById('q').value))
     .then(r => r.json()).then(d => {
@@ -71,72 +94,64 @@ function search() {
         d.frames.length ? 'Frames: ' + d.frames.join(', ') : 'No matches';
     });
 }
-update(0);
+poll();
 </script></body></html>
 """
 
 
 class DashboardData:
-    """Precomputed per-frame renders + tags backing the HTTP endpoints."""
+    """Per-frame renders + tags backing the HTTP endpoints; grows as the
+    background processor appends completed chunks (thread-safe)."""
 
-    def __init__(self, frames_jpeg, frame_tags, states, tagger):
-        self.frames_jpeg = frames_jpeg
-        self.frame_tags = frame_tags
-        self.states = states
+    def __init__(self, total: int, tagger=None):
+        self.total = total
+        self.frames_jpeg: List[bytes] = []
+        self.frame_tags: List = []
+        self.states: List[Dict] = []
         self.tagger = tagger
+        self.error: Optional[str] = None
+        self._lock = threading.Lock()
+        self._done = threading.Event()
+
+    @property
+    def ready(self) -> int:
+        with self._lock:
+            return len(self.frames_jpeg)
+
+    def append_chunk(self, jpegs, tags_list, states) -> None:
+        with self._lock:
+            self.frames_jpeg.extend(jpegs)
+            self.frame_tags.extend(tags_list)
+            self.states.extend(states)
+
+    def mark_done(self) -> None:
+        self._done.set()
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        return self._done.wait(timeout)
 
 
-def build_dashboard_data(
-    num_frames: int = 120,
-    video_path: Optional[str] = None,
-    use_frames: bool = True,
-) -> DashboardData:
+def _render_chunk(cfg, frames, dets, outs, start, bev, overlay, tagger):
+    """Host-side rendering of one completed chunk; returns the per-frame
+    jpeg/tags/state lists."""
     import cv2
-    import jax
-    import jax.numpy as jnp
 
-    from .. import DEFAULT_CONFIG, initial_state, make_sequence_runner
-    from ..data.frames import SyntheticRoadGenerator
     from ..host import extract_frame
-    from ..tagging.auto_tagger import AutoTagger
-    from ..viz import BEVRenderer, OverlayRenderer, draw_detections, draw_lanes, draw_tracks
-    from .demo import _build_inputs, _enable_persistent_compile_cache
 
-    _enable_persistent_compile_cache()
-    cfg = DEFAULT_CONFIG.replace(use_frames=use_frames, enable_tagging=True)
-
-    if video_path:
-        from ..data.video import VideoDataLoader
-
-        loader = VideoDataLoader(video_path, target_size=(cfg.frame_width, cfg.frame_height))
-        num_frames = min(num_frames, loader.total_frames)
-        frames = loader.load_frames(num_frames)
-        loader.release()
-        src_name = video_path
-    else:
-        gen = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height)
-        frames = gen.generate_frames(num_frames)
-        src_name = "synthetic"
-
-    dets, inputs = _build_inputs(frames, num_frames, 1 / 30.0, use_frames, cfg)
-    runner = make_sequence_runner(cfg, donate=False)
-    _, outs = runner(initial_state(cfg), inputs)
-    outs = jax.device_get(outs)
-
-    tagger = AutoTagger(video_path=src_name, fps=30.0)
-    tagger.ingest_device_tags(outs["tags"], num_frames)
-    tagger.finalize()
-
-    bev = BEVRenderer(cfg.bev)
-    overlay = OverlayRenderer()
+    n = frames.shape[0]
+    tagger.ingest_device_tags(outs["tags"], n)
     jpegs, tags_list, states = [], [], []
-    for f in range(num_frames):
+    for f in range(n):
         res = extract_frame(outs, dets, f)
         cam = frames[f].copy()
+        from ..viz import draw_detections, draw_lanes, draw_tracks
+
         cam = draw_detections(cam, res.detections)
         cam = draw_lanes(cam, res.lane_left, res.lane_right)
         cam = draw_tracks(cam, res.tracks)
-        cam = overlay.draw_info_panel(cam, res.vehicle_state, fps=30.0, frame_num=f)
+        cam = overlay.draw_info_panel(
+            cam, res.vehicle_state, fps=30.0, frame_num=start + f
+        )
         bev_img = bev.render(
             ego_state=res.vehicle_state,
             tracks=res.tracks,
@@ -147,7 +162,7 @@ def build_dashboard_data(
         combined = overlay.create_side_by_side(cam, bev_img)
         ok, buf = cv2.imencode(".jpg", combined, [cv2.IMWRITE_JPEG_QUALITY, 82])
         jpegs.append(buf.tobytes() if ok else b"")
-        tags_list.append(tagger.frame_tags[f])
+        tags_list.append(tagger.frame_tags[start + f])
         vs = res.vehicle_state
         states.append(
             {
@@ -160,7 +175,97 @@ def build_dashboard_data(
                 "plan": res.optimal_trajectory.trajectory_type,
             }
         )
-    return DashboardData(jpegs, tags_list, states, tagger)
+    return jpegs, tags_list, states
+
+
+def process_into(
+    data: DashboardData,
+    num_frames: int,
+    video_path: Optional[str] = None,
+    use_frames: bool = True,
+    chunk: int = 30,
+) -> None:
+    """Run the pipeline chunk by chunk, appending results into ``data`` as
+    each chunk completes.  State chains across chunks, so the stream of
+    outputs equals one monolithic scan's."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import DEFAULT_CONFIG, initial_state, make_sequence_runner
+    from ..data.frames import SyntheticRoadGenerator
+    from ..data.synthetic import ego_motion_stream, simulated_detection_stream
+    from ..tagging.auto_tagger import AutoTagger
+    from ..viz import BEVRenderer, OverlayRenderer
+    from .demo import _enable_persistent_compile_cache
+
+    try:
+        _enable_persistent_compile_cache()
+        cfg = DEFAULT_CONFIG.replace(use_frames=use_frames, enable_tagging=True)
+
+        if video_path:
+            from ..data.video import VideoDataLoader
+
+            loader = VideoDataLoader(
+                video_path, target_size=(cfg.frame_width, cfg.frame_height)
+            )
+            num_frames = min(num_frames, loader.total_frames)
+            all_frames = loader.load_frames(num_frames)
+            loader.release()
+            src_name = video_path
+        else:
+            gen = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height)
+            all_frames = gen.generate_frames(num_frames)
+            src_name = "synthetic"
+        data.total = num_frames
+
+        runner = make_sequence_runner(cfg, donate=False)
+        state = initial_state(cfg)
+        tagger = AutoTagger(video_path=src_name, fps=30.0)
+        data.tagger = tagger
+        bev = BEVRenderer(cfg.bev)
+        overlay = OverlayRenderer()
+
+        start = 0
+        while start < num_frames:
+            n = min(chunk, num_frames - start)
+            frames = all_frames[start : start + n]
+            dets = simulated_detection_stream(
+                n,
+                height=cfg.frame_height,
+                width=cfg.frame_width,
+                capacity=cfg.detector.max_detections,
+                start_frame_count=start + 1,
+            )
+            ego = ego_motion_stream(start + n, dt=1 / 30.0, seed=0)[start:]
+            inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+            inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+            if use_frames:
+                inputs["frame"] = jnp.asarray(
+                    np.ascontiguousarray(frames, dtype=np.uint8)
+                )
+            state, outs = runner(state, inputs)
+            outs = jax.device_get(outs)
+            data.append_chunk(
+                *_render_chunk(cfg, frames, dets, outs, start, bev, overlay, tagger)
+            )
+            start += n
+        tagger.finalize()
+    except Exception as e:  # surface in /status instead of dying silently
+        data.error = f"{type(e).__name__}: {e}"
+        raise
+    finally:
+        data.mark_done()
+
+
+def build_dashboard_data(
+    num_frames: int = 120,
+    video_path: Optional[str] = None,
+    use_frames: bool = True,
+) -> DashboardData:
+    """Synchronous build (processes everything, then returns)."""
+    data = DashboardData(total=num_frames)
+    process_into(data, num_frames, video_path, use_frames)
+    return data
 
 
 def make_handler(data: DashboardData):
@@ -168,8 +273,8 @@ def make_handler(data: DashboardData):
         def log_message(self, *args):
             pass
 
-        def _send(self, body: bytes, ctype: str = "text/html"):
-            self.send_response(200)
+        def _send(self, body: bytes, ctype: str = "text/html", code: int = 200):
+            self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
@@ -178,13 +283,26 @@ def make_handler(data: DashboardData):
         def do_GET(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
-            n = len(data.frames_jpeg)
+            n = data.ready
             if url.path == "/":
-                self._send(_PAGE.replace("{max_frame}", str(n - 1)).encode())
+                self._send(_PAGE.replace("{total}", str(data.total)).encode())
+            elif url.path == "/status":
+                self._send(
+                    json.dumps(
+                        {"ready": n, "total": data.total, "error": data.error}
+                    ).encode(),
+                    "application/json",
+                )
             elif url.path == "/frame":
+                if n == 0:
+                    self._send(b"processing", "text/plain", 202)
+                    return
                 i = min(max(int(q.get("i", ["0"])[0]), 0), n - 1)
                 self._send(data.frames_jpeg[i], "image/jpeg")
             elif url.path == "/tags":
+                if n == 0:
+                    self._send(b"{}", "application/json", 202)
+                    return
                 i = min(max(int(q.get("i", ["0"])[0]), 0), n - 1)
                 ft = data.frame_tags[i]
                 self._send(
@@ -194,13 +312,15 @@ def make_handler(data: DashboardData):
                     "application/json",
                 )
             elif url.path == "/stats":
-                self._send(
-                    json.dumps(data.tagger.get_tag_statistics()).encode(),
-                    "application/json",
-                )
+                stats = data.tagger.get_tag_statistics() if data.tagger else {}
+                self._send(json.dumps(stats).encode(), "application/json")
             elif url.path == "/search":
                 query = q.get("q", [""])[0]
-                hits = [ft.frame_idx for ft in data.tagger.search_by_tag(query)]
+                hits = (
+                    [ft.frame_idx for ft in data.tagger.search_by_tag(query)]
+                    if data.tagger
+                    else []
+                )
                 self._send(
                     json.dumps({"query": query, "frames": hits}).encode(),
                     "application/json",
@@ -217,10 +337,25 @@ def serve(
     num_frames: int = 120,
     video_path: Optional[str] = None,
     block: bool = True,
+    progressive: bool = True,
 ):
-    print(f"Processing {num_frames} frames through the device pipeline...")
-    data = build_dashboard_data(num_frames, video_path)
+    """Start the dashboard.  With ``progressive`` (default) the server is
+    reachable immediately and frames appear as chunks complete; otherwise
+    everything is processed before binding the port (round-1 behavior)."""
+    data = DashboardData(total=num_frames)
+    if progressive:
+        worker = threading.Thread(
+            target=process_into,
+            args=(data, num_frames, video_path),
+            daemon=True,
+        )
+        worker.start()
+        print(f"Processing {num_frames} frames in the background (progressive)...")
+    else:
+        print(f"Processing {num_frames} frames through the device pipeline...")
+        process_into(data, num_frames, video_path)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(data))
+    server.dashboard_data = data  # for tests / callers
     print(f"Dashboard: http://localhost:{port}/")
     if block:
         server.serve_forever()

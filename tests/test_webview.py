@@ -1,17 +1,32 @@
-"""Stdlib web dashboard: endpoints serve frames, tags, stats, search."""
+"""Stdlib web dashboard: progressive serving + endpoint contracts."""
 
 import json
+import time
 import urllib.request
 
 from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import serve
 
 
-def test_webview_endpoints():
-    server = serve(port=8719, num_frames=8, block=False)
+def test_webview_progressive_endpoints():
+    server = serve(port=8719, num_frames=8, block=False, progressive=True)
     try:
         base = "http://127.0.0.1:8719"
+        # Server is reachable immediately, before processing completes.
         html = urllib.request.urlopen(base + "/").read().decode()
-        assert "Dashboard" in html and 'max="7"' in html
+        assert "Dashboard" in html and "/status" in html
+
+        status = json.loads(urllib.request.urlopen(base + "/status").read())
+        assert status["total"] == 8 and 0 <= status["ready"] <= 8
+
+        # Poll until all chunks have landed.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            status = json.loads(urllib.request.urlopen(base + "/status").read())
+            assert status["error"] is None, status["error"]
+            if status["ready"] == 8:
+                break
+            time.sleep(0.3)
+        assert status["ready"] == 8
 
         jpg = urllib.request.urlopen(base + "/frame?i=3").read()
         assert jpg[:2] == b"\xff\xd8"  # JPEG magic
@@ -33,3 +48,23 @@ def test_webview_endpoints():
         assert jpg2[:2] == b"\xff\xd8"
     finally:
         server.shutdown()
+
+
+def test_webview_chunked_equals_monolithic():
+    """Progressive chunking must not change results: tags/states equal the
+    synchronous whole-clip build."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import (
+        DashboardData,
+        build_dashboard_data,
+        process_into,
+    )
+
+    mono = build_dashboard_data(num_frames=10)
+
+    prog = DashboardData(total=10)
+    process_into(prog, 10, chunk=4)  # 4 + 4 + 2
+
+    assert [ft.all_tags for ft in prog.frame_tags] == [
+        ft.all_tags for ft in mono.frame_tags
+    ]
+    assert prog.states == mono.states
