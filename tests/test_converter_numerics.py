@@ -155,6 +155,112 @@ def test_blip_greedy_decode_matches_hf_generate(hf_blip, jax_blip):
     assert got_tokens == want_tokens, (got_tokens, want_tokens)
 
 
+class _TorchConvBN(torch.nn.Module):
+    """ultralytics Conv block (conv + bn + silu), key layout ``conv.*``/``bn.*``."""
+
+    def __init__(self, cin, cout, k=1, s=1):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k, s, k // 2, bias=False)
+        self.bn = torch.nn.BatchNorm2d(cout, eps=1e-3, momentum=0.03)
+
+    def forward(self, x):
+        return torch.nn.functional.silu(self.bn(self.conv(x)))
+
+
+def _randomize_bn(m):
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.running_mean.normal_(0.1, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+                mod.weight.normal_(1.0, 0.2)
+                mod.bias.normal_(0.0, 0.2)
+
+
+def test_yolo_c2f_block_matches_torch():
+    """A full C2f block in ultralytics key layout (cv1/cv2 + m.<i>.cv1/cv2
+    bottlenecks): exercises the converter's ``m.<i>`` path routing and the
+    split/concat dataflow against torch."""
+
+    class TorchBottleneck(torch.nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.cv1 = _TorchConvBN(c, c, k=3)
+            self.cv2 = _TorchConvBN(c, c, k=3)
+
+        def forward(self, x):
+            return x + self.cv2(self.cv1(x))
+
+    class TorchC2f(torch.nn.Module):
+        def __init__(self, cin, cout, n):
+            super().__init__()
+            c = cout // 2
+            self.cv1 = _TorchConvBN(cin, 2 * c)
+            self.cv2 = _TorchConvBN((2 + n) * c, cout)
+            self.m = torch.nn.ModuleList(TorchBottleneck(c) for _ in range(n))
+
+        def forward(self, x):
+            y = list(self.cv1(x).chunk(2, 1))
+            y.extend(mm(y[-1]) for mm in self.m)
+            return self.cv2(torch.cat(y, 1))
+
+    torch.manual_seed(1)
+    block = TorchC2f(16, 32, 2).eval()
+    _randomize_bn(block)
+
+    # Route through layer index 2 = flax name "b2" (a C2f in the backbone).
+    sd = {f"model.2.{k}": v for k, v in block.state_dict().items()}
+    variables = jyolo.load_torch_state_dict(sd, variant="n")
+    sub = {
+        "params": variables["params"]["b2"],
+        "batch_stats": variables["batch_stats"]["b2"],
+    }
+
+    x = np.random.default_rng(1).standard_normal((2, 16, 16, 16)).astype(np.float32)
+    got = np.asarray(
+        jyolo.C2f(features=32, n=2, shortcut=True).apply(sub, jnp.asarray(x))
+    )
+    with torch.no_grad():
+        want = block(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-5, rtol=1e-4)
+
+
+def test_yolo_head_tower_matches_torch():
+    """One detect-head box tower (cv2.<scale>.<j>: ConvBN, ConvBN, plain
+    conv with bias) in ultralytics key layout vs the Flax head naming."""
+    torch.manual_seed(2)
+    c_in, c2 = 64, 64
+
+    tower = torch.nn.Sequential(
+        _TorchConvBN(c_in, c2, k=3),
+        _TorchConvBN(c2, c2, k=3),
+        torch.nn.Conv2d(c2, 4 * jyolo.REG_MAX, 1),
+    ).eval()
+    _randomize_bn(tower)
+
+    sd = {f"model.22.cv2.0.{k}": v for k, v in tower.state_dict().items()}
+    variables = jyolo.load_torch_state_dict(sd, variant="n")
+    hp = variables["params"]["head"]
+    hs = variables["batch_stats"]["head"]
+
+    x = np.random.default_rng(2).standard_normal((1, 8, 8, c_in)).astype(np.float32)
+    h = jnp.asarray(x)
+    h = jyolo.ConvBN(features=c2, kernel=3).apply(
+        {"params": hp["cv2_0_0"], "batch_stats": hs["cv2_0_0"]}, h
+    )
+    h = jyolo.ConvBN(features=c2, kernel=3).apply(
+        {"params": hp["cv2_0_1"], "batch_stats": hs["cv2_0_1"]}, h
+    )
+    import flax.linen as nn
+
+    h = nn.Conv(4 * jyolo.REG_MAX, (1, 1)).apply({"params": hp["cv2_0_2"]}, h)
+    with torch.no_grad():
+        want = tower(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        np.asarray(h), want.transpose(0, 2, 3, 1), atol=2e-5, rtol=1e-4
+    )
+
+
 def test_yolo_convbn_matches_torch():
     """One ultralytics-layout Conv(k3,s2,no-bias)+BN+SiLU block: converter
     layout math (OIHW->HWIO, BN scale/bias/mean/var routing) vs torch."""
