@@ -258,13 +258,15 @@ def _compiled_flops(f, *args):
         return None
 
 
-def bench_yolo(repeats, batch=64, reps=10):
+def bench_yolo(repeats, batch=128, reps=8):
     """Streaming detection throughput: each jitted call processes ``reps``
-    64-frame clips (bf16 convs on the MXU) of incompressible (random)
-    frames, chained on the running digest so the tunnel's ~30 ms dispatch
-    floor amortizes over reps x batch frames (a single-clip dispatch
-    under-reports throughput ~2x).  Emits an MFU line: XLA-counted FLOPs /
-    measured steady-state time / chip peak."""
+    ``batch``-frame clips (bf16 convs on the MXU) of incompressible
+    (random) frames, chained on the running digest so the tunnel's ~30 ms
+    dispatch floor amortizes over reps x batch frames (a single-clip
+    dispatch under-reports throughput ~2x).  batch=128 measured ~2x the
+    per-frame throughput of batch=64 on v5e (better MXU tiling of the
+    small-channel convs: 195 vs 400 us/frame).  Emits an MFU line:
+    XLA-counted FLOPs / measured steady-state time / chip peak."""
     from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
         make_yolo_detector,
     )
@@ -517,6 +519,68 @@ def bench_multicamera(repeats, cams=8, num_frames=300, reps=5):
     )
 
 
+def bench_multicamera_frames(repeats, cams=8, num_frames=30, reps=2):
+    """BASELINE config 5 through the FULL stack: 8 camera feeds, each
+    running the complete image pipeline (Canny + matmul-Hough lanes +
+    scene features) per frame, sharded over the camera mesh (vmap locally
+    when devices < cameras)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.parallel.mesh import (
+        make_camera_mesh,
+        make_multicamera_runner,
+        stack_states,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    n_dev = len(jax.devices())
+    mesh = make_camera_mesh(n_dev)
+    runner = make_multicamera_runner(cfg, mesh)
+    states = stack_states(cfg, cams)
+    one = _pipeline_inputs(num_frames)
+    frames = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height).generate_frames(
+        num_frames
+    )
+
+    def rep(x):
+        return jnp.broadcast_to(x, (cams,) + x.shape)
+
+    inputs = {k: rep(v) for k, v in one.items()}
+    inputs["frame"] = jax.device_put(rep(jnp.asarray(frames)))
+
+    def fn(nonce, states, inputs):
+        def one_rep(carry, _):
+            digest_in, _ = carry
+            perturbed = dict(inputs)
+            perturbed["ego_measurement"] = (
+                inputs["ego_measurement"] + nonce + digest_in * 1e-30
+            )
+            _, outs, fleet = runner(states, perturbed)
+            # Digest EVERY output leaf: a partial digest would let XLA
+            # dead-code-eliminate the lane/scene image stack.
+            d = _tree_digest(outs) + _tree_digest(fleet)
+            return (digest_in + d, 0), None
+
+        (digest, _), _ = jax.lax.scan(one_rep, (nonce, 0), None, length=reps)
+        return digest
+
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, states, inputs, repeats=repeats)
+    total = cams * num_frames * reps
+    emit(
+        "multicamera_8feed_frames_fps",
+        total / best,
+        "frames/s",
+        cameras=cams,
+        devices=n_dev,
+        us_per_frame=round(best / total * 1e6, 1),
+    )
+
+
 def bench_frames(repeats, num_frames=120, reps=3):
     """Video-fidelity config: the pipeline consumes real camera frames, so
     every per-frame step runs gray/blur/Canny + two Hough passes + scene
@@ -634,6 +698,7 @@ def main():
     bench_dense_traffic(repeats)
     bench_kalman_bank(repeats)
     bench_multicamera(repeats)
+    bench_multicamera_frames(repeats)
     bench_frames(repeats)
     bench_streaming_overlap(repeats)
 

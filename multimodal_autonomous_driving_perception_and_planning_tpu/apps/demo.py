@@ -60,6 +60,7 @@ def run_demo(
     synthetic: bool = False,
     use_frames: bool = True,
     enable_tagging: bool = True,
+    smooth_tracks: bool = False,
 ):
     import cv2
     import jax
@@ -134,6 +135,29 @@ def run_demo(
     jax.block_until_ready(outs["plan_best"])
     device_time = time.time() - t0
     outs = jax.device_get(outs)
+
+    smoothed = None
+    if smooth_tracks:
+        # Opt-in per-agent Kalman bank (no reference analog; see
+        # tracking/kalman_bank.py) — smoothed centers drawn as yellow dots.
+        from ..tracking.kalman_bank import make_kalman_bank
+
+        bank = make_kalman_bank(cfg)
+        smoothed = jax.device_get(
+            bank(
+                {
+                    k: outs[k]
+                    for k in (
+                        "track_id",
+                        "track_bbox",
+                        "track_velocity",
+                        "track_vel_count",
+                    )
+                }
+            )
+        )
+        n_smoothed = int(smoothed["valid"].any(axis=0).sum())
+        print(f"Kalman bank: smoothing {n_smoothed} track slots on device")
     print(
         f"Device scan: {total} frames in {device_time*1e3:.1f} ms "
         f"({total/max(device_time,1e-9):.0f} frames/s on "
@@ -160,6 +184,9 @@ def run_demo(
         camera = draw_detections(camera, res.detections)
         camera = draw_lanes(camera, res.lane_left, res.lane_right)
         camera = draw_tracks(camera, res.tracks)
+        if smoothed is not None:
+            for x, y in smoothed["positions"][f][smoothed["valid"][f]]:
+                cv2.circle(camera, (int(x), int(y)), 4, (0, 255, 255), -1)
         fps = 1.0 / (frame_times[-1] if frame_times else 0.033)
         camera = overlay.draw_info_panel(camera, res.vehicle_state, fps=fps, frame_num=f)
         camera = overlay.draw_detection_summary(camera, res.detections)
@@ -296,6 +323,9 @@ def main(argv=None):
                         help="Skip on-device lane detection / scene features")
     parser.add_argument("--no-tagging", action="store_true",
                         help="Skip the on-device tagging stage")
+    parser.add_argument("--smooth-tracks", action="store_true",
+                        help="Opt-in per-agent Kalman smoothing bank "
+                             "(yellow dots = smoothed track centers)")
     parser.add_argument("--test", action="store_true",
                         help="Run the six-component smoke test and exit")
     args = parser.parse_args(argv)
@@ -319,6 +349,7 @@ def main(argv=None):
         synthetic=args.synthetic,
         use_frames=not args.no_lanes,
         enable_tagging=not args.no_tagging,
+        smooth_tracks=args.smooth_tracks,
     )
 
 
