@@ -43,6 +43,12 @@ class LaneConfig:
     max_lines: int = 64
     # Number of theta bins for the deterministic Hough transform.
     num_thetas: int = 180
+    # Static caps on the edge-pixel voting sets (Hough cost scales
+    # ~linearly with these; overflow is flagged, not silent).  The lane
+    # pass sees only the ROI trapezoid (~1/4 of the frame) so it needs a
+    # smaller pool than the full-frame scene-classifier pass.
+    lane_edge_capacity: int = 2048
+    scene_edge_capacity: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

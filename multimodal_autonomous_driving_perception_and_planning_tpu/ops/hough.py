@@ -37,6 +37,9 @@ class HoughLines(NamedTuple):
     length: jnp.ndarray  # (L,) float32
     overflow: jnp.ndarray  # () bool — peak pool overflowed; selection was
     #                        scan-order truncated, strongest line may be lost
+    edges_overflow: jnp.ndarray  # () bool — more edge pixels than
+    #                        ``edge_capacity``; voting saw a scan-order
+    #                        (top-of-image-first) truncated edge set
 
 
 def compact_mask(flat: jnp.ndarray, capacity: int):
@@ -86,14 +89,28 @@ def compact_mask(flat: jnp.ndarray, capacity: int):
     return jnp.where(valid, idx, 0), valid
 
 
-def compact_edges(edges: jnp.ndarray, capacity: int):
+def compact_edges(edges: jnp.ndarray, capacity: int, row_range=None):
     """(H, W) bool -> fixed-size (x, y, valid) edge-pixel list in row-major
-    scan order (see `compact_mask`)."""
+    scan order (see `compact_mask`), plus the total edge count.
+
+    ``row_range=(y0, y1)`` (static ints) restricts compaction to rows
+    [y0, y1): when the caller knows the mask is zero outside that band
+    (e.g. the lane ROI trapezoid lives in the bottom 40% of the frame),
+    scanning only those rows cuts the block-count prefix work
+    proportionally without changing the selected pixels or their order.
+    """
+    if row_range is not None:
+        y0, y1 = row_range
+        edges = edges[y0:y1]
+    else:
+        y0 = 0
     h, w = edges.shape
-    idx, valid = compact_mask(edges.reshape(-1), capacity)
+    flat = edges.reshape(-1)
+    idx, valid = compact_mask(flat, capacity)
+    total = jnp.sum(flat.astype(jnp.int32))
     x = (idx % w).astype(jnp.float32)
-    y = (idx // w).astype(jnp.float32)
-    return x, y, valid
+    y = (idx // w + y0).astype(jnp.float32)
+    return x, y, valid, total
 
 
 def hough_segments(
@@ -103,17 +120,26 @@ def hough_segments(
     num_thetas: int = 180,
     max_lines: int = 64,
     edge_capacity: int = 8192,
+    row_range=None,
 ) -> HoughLines:
     """Dense Hough transform + segment reconstruction.
 
     Matches cv2.HoughLinesP's grid: rho resolution 1 px, theta resolution
     pi/num_thetas over [0, pi).
+
+    ``edge_capacity`` bounds the voting edge set (static shape); if the
+    frame has more edge pixels the excess is dropped in scan order and
+    ``edges_overflow`` is set in the result.  Per-frame cost scales
+    ~linearly with the capacity (both the compaction and the voting
+    matmul), so call sites size it to their mask: the ROI-restricted lane
+    pass needs far less than a full-frame pass.  ``row_range`` restricts
+    the edge scan to a static row band (see `compact_edges`).
     """
     h, w = edges.shape
     diag = int(math.ceil(math.sqrt(h * h + w * w)))
     n_rho = 2 * diag + 1
 
-    x, y, valid = compact_edges(edges, edge_capacity)
+    x, y, valid, n_edges = compact_edges(edges, edge_capacity, row_range)
     wgt = valid.astype(jnp.float32)
 
     thetas = jnp.arange(num_thetas, dtype=jnp.float32) * (jnp.pi / num_thetas)
@@ -226,4 +252,5 @@ def hough_segments(
         votes=scores.astype(jnp.int32),
         length=length,
         overflow=total_peaks > pool_size,
+        edges_overflow=n_edges > edge_capacity,
     )

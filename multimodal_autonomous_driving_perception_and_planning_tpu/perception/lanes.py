@@ -97,12 +97,16 @@ def make_lane_step(cfg: PipelineConfig):
         edges = canny(blurred, low, high)
         masked = edges & roi
 
+        # The ROI trapezoid is zero above roi_top_y_frac, so the edge scan
+        # only needs the bottom rows of the frame.
         hl = hough_segments(
             masked,
             vote_threshold=lc.hough_threshold,
             min_line_length=lc.hough_min_line_length,
             num_thetas=lc.num_thetas,
             max_lines=lc.max_lines,
+            edge_capacity=lc.lane_edge_capacity,
+            row_range=(int(h * lc.roi_top_y_frac), h),
         )
         (lf, l_found, l_conf), (rf, r_found, r_conf) = _separate_and_fit(
             hl.segments, hl.valid, w, h, lc.max_lines
@@ -154,6 +158,7 @@ def make_lane_step(cfg: PipelineConfig):
             min_line_length=100.0,
             num_thetas=lc.num_thetas,
             max_lines=lc.max_lines,
+            edge_capacity=lc.scene_edge_capacity,
         )
         n_scene_lines = jnp.sum(scene_hl.valid.astype(jnp.int32))
         avg_len = jnp.sum(jnp.where(scene_hl.valid, scene_hl.length, 0.0)) / jnp.maximum(

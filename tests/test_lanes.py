@@ -102,3 +102,36 @@ def test_lane_step_no_lanes_in_blank_frame():
     state, obs, _ = step(LaneState.initial(), blank)
     assert not bool(obs.left_found) and not bool(obs.right_found)
     assert not bool(state.left_valid)
+
+def test_edge_capacity_and_row_range():
+    """Smaller edge capacity + ROI row restriction must not change the
+    result when the edge set fits; overflow must be flagged when it
+    doesn't (silent-truncation guard on the capacity knobs)."""
+    import jax
+
+    img = np.zeros((480, 640), np.uint8)
+    cv2.line(img, (100, 400), (300, 300), 255, 1)
+    cv2.line(img, (400, 300), (550, 420), 255, 1)
+    edges = jnp.asarray(img > 0)  # all edge pixels live in rows [288, 480)
+
+    def run(**kw):
+        return jax.tree_util.tree_map(
+            np.asarray,
+            hough_segments(edges, vote_threshold=30, min_line_length=30.0, **kw),
+        )
+
+    base = run(edge_capacity=8192)
+    small = run(edge_capacity=1024)
+    banded = run(edge_capacity=1024, row_range=(288, 480))
+    assert not base.edges_overflow and not small.edges_overflow
+    assert not banded.edges_overflow
+    for a in ("segments", "valid", "votes", "length"):
+        np.testing.assert_array_equal(getattr(small, a), getattr(base, a))
+        np.testing.assert_array_equal(getattr(banded, a), getattr(base, a))
+
+    # Dense noise overflows a small capacity and says so.
+    rng = np.random.default_rng(1)
+    noisy = jnp.asarray(rng.random((480, 640)) > 0.5)
+    hl = hough_segments(noisy, vote_threshold=50, min_line_length=50.0,
+                        edge_capacity=1024)
+    assert bool(hl.edges_overflow)
