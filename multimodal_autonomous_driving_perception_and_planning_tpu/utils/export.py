@@ -1,0 +1,111 @@
+"""Ahead-of-time export of the compiled pipeline (serving artifact).
+
+The reference has no deployment story beyond "run the Python script"
+(demo.py:201-231).  A TPU-native framework serves from a compiled
+artifact: this module serializes the fused sequence runner (the whole
+detect->track->estimate->plan[->tag] scan) to portable StableHLO bytes
+via ``jax.export``, so a serving process can run the exact pinned
+computation with zero retracing/recompilation risk, across JAX versions,
+on any exported-for platform.
+
+Calling convention: the exported function takes/returns *flat leaf
+lists* (deterministic ``jax.tree_util`` flatten order), so the artifact
+does not depend on custom-pytree serialization.  ``deserialize_runner``
+rebuilds the (state, inputs-dict) -> (state', outputs) wrapper from the
+same config, which must match the one used at export time (leaf count
+and shapes are checked by the exported signature itself).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..pipeline import initial_state, make_sequence_runner
+
+
+def example_sequence_inputs(cfg: PipelineConfig, num_frames: int) -> Dict[str, Any]:
+    """Zero-filled, correctly-shaped time-stacked inputs for tracing."""
+    d = cfg.detector.max_detections
+    inputs: Dict[str, Any] = {
+        "bbox": jnp.zeros((num_frames, d, 4), jnp.float32),
+        "class_id": jnp.zeros((num_frames, d), jnp.int32),
+        "confidence": jnp.zeros((num_frames, d), jnp.float32),
+        "valid": jnp.zeros((num_frames, d), bool),
+        "ego_measurement": jnp.zeros((num_frames, 4), jnp.float32),
+    }
+    if cfg.use_frames:
+        inputs["frame"] = jnp.zeros(
+            (num_frames, cfg.frame_height, cfg.frame_width, 3), jnp.int32
+        )
+    return inputs
+
+
+def _flat_runner(cfg: PipelineConfig, num_frames: int):
+    """(flat_fn, example_leaves, in_tree, out_tree) for the scan runner."""
+    run = make_sequence_runner(cfg, donate=False)
+    state = initial_state(cfg)
+    inputs = example_sequence_inputs(cfg, num_frames)
+    example_leaves, in_tree = jax.tree_util.tree_flatten((state, inputs))
+
+    out_shapes = jax.eval_shape(run, state, inputs)
+    _, out_tree = jax.tree_util.tree_flatten(out_shapes)
+
+    def flat_fn(*leaves):
+        s, i = jax.tree_util.tree_unflatten(in_tree, leaves)
+        result = run(s, i)
+        return jax.tree_util.tree_leaves(result)
+
+    return flat_fn, example_leaves, in_tree, out_tree
+
+
+def export_sequence_runner(
+    cfg: PipelineConfig,
+    num_frames: int,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> bytes:
+    """Serialize the compiled ``num_frames``-frame scan runner.
+
+    ``platforms`` selects the lowering targets baked into the artifact
+    (lowering needs no physical device; a TPU-targeted artifact can be
+    produced on a CPU-only host).
+    """
+    from jax import export as jexport
+
+    flat_fn, example_leaves, _, _ = _flat_runner(cfg, num_frames)
+    specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in example_leaves]
+    exported = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(*specs)
+    return exported.serialize()
+
+
+def deserialize_runner(data: bytes, cfg: PipelineConfig, num_frames: int):
+    """bytes -> callable(state, inputs) -> (state', outputs).
+
+    ``cfg``/``num_frames`` must match the exporting call; the exported
+    signature rejects mismatched leaf shapes with a clear error.
+    """
+    from jax import export as jexport
+
+    exported = jexport.deserialize(data)
+    _, _, in_tree, out_tree = _flat_runner(cfg, num_frames)
+
+    def run(state, inputs):
+        leaves = jax.tree_util.tree_flatten((state, inputs))[0]
+        out_leaves = exported.call(*leaves)
+        return jax.tree_util.tree_unflatten(out_tree, out_leaves)
+
+    return run
+
+
+def save_exported(path: str, data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_exported(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
