@@ -12,7 +12,8 @@ import sys
 
 def main():
     parser = argparse.ArgumentParser(description="AV pipeline dashboard")
-    parser.add_argument("--backend", choices=["streamlit", "web"], default=None)
+    parser.add_argument("--backend", choices=["streamlit", "web", "serve"],
+                        default=None)
     parser.add_argument("--video", type=str, default=None)
     parser.add_argument("--frames", type=int, default=120)
     parser.add_argument("--port", type=int, default=8700)
@@ -39,6 +40,14 @@ def main():
             return
         except ImportError:
             print("streamlit is not installed; falling back to the web backend.")
+    if backend == "serve":
+        # Headless inference tier: AOT artifact + npz chunk API (apps/serve.py).
+        from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import (
+            main as serve_main,
+        )
+
+        serve_main(["--port", str(args.port)])
+        return
     from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import serve
 
     serve(port=args.port, num_frames=args.frames, video_path=args.video)

@@ -1,0 +1,250 @@
+"""Production inference server over the AOT-exported pipeline.
+
+The reference's only "deployment" is running a Python script per video
+(demo.py:201-231).  This is the serving tier a TPU deployment actually
+wants: the fused scan runner is pinned as a `jax.export` StableHLO
+artifact at startup (utils/export.py), and a zero-dependency HTTP server
+(stdlib, like apps/webview.py) feeds it fixed-size chunks.  Sessions
+carry the scan state across requests — a client streaming a long drive
+in chunks gets bit-identical results to one monolithic scan (the same
+exactness contract as runtime/stream.py and checkpoint/resume).
+
+Wire format: request/response bodies are ``npz`` (numpy savez) — the
+natural container for the pipeline's fixed-shape tables.
+
+Endpoints:
+  GET  /healthz           liveness + device + chunk size
+  GET  /info              config summary + artifact byte size
+  POST /session           create a session -> {"session": id}
+  POST /infer?session=id  npz with bbox/class_id/confidence/valid/
+                          ego_measurement (+frame if cfg.use_frames),
+                          each with leading time axis == chunk size;
+                          returns npz of per-frame outputs
+  POST /reset?session=id  reset the session's scan state
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+# Per-frame outputs returned to clients (the full dict is large; these are
+# the serving-relevant surfaces — tracks, ego state, plan, tags).
+_OUTPUT_KEYS = (
+    "track_id",
+    "track_bbox",
+    "track_class_id",
+    "track_confidence",
+    "confirmed_order",
+    "num_confirmed",
+    "plan_best",
+    "plan_best_positions",
+    "plan_best_velocities",
+)
+
+
+class PipelineServer:
+    """Owns the exported runner, sessions, and the device lock."""
+
+    def __init__(self, cfg=None, chunk: int = 64, artifact: Optional[bytes] = None):
+        import jax
+
+        from .. import DEFAULT_CONFIG
+        from ..pipeline import initial_state
+        from ..utils.export import (
+            deserialize_runner,
+            example_sequence_inputs,
+            export_sequence_runner,
+        )
+
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.chunk = int(chunk)
+        if artifact is None:
+            platform = jax.default_backend()
+            artifact = export_sequence_runner(
+                self.cfg, self.chunk, platforms=(platform,)
+            )
+        self.artifact_bytes = len(artifact)
+        self.run = deserialize_runner(artifact, self.cfg, self.chunk)
+        self._initial_state = lambda: initial_state(self.cfg)
+        self._example = example_sequence_inputs(self.cfg, self.chunk)
+        self.sessions: Dict[str, Any] = {}
+        self._next_id = 0
+        self._lock = threading.Lock()  # one device program at a time
+        self.device = jax.devices()[0].platform
+
+    # -- session management -------------------------------------------------
+    def create_session(self) -> str:
+        with self._lock:
+            sid = f"s{self._next_id}"
+            self._next_id += 1
+            self.sessions[sid] = self._initial_state()
+        return sid
+
+    def reset_session(self, sid: str) -> None:
+        with self._lock:
+            if sid not in self.sessions:
+                raise KeyError(sid)
+            self.sessions[sid] = self._initial_state()
+
+    # -- inference ----------------------------------------------------------
+    def infer(self, sid: str, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        expected = self._example
+        missing = [k for k in expected if k not in arrays]
+        if missing:
+            raise ValueError(f"missing inputs: {missing}")
+        inputs = {}
+        for k, spec in expected.items():
+            a = np.asarray(arrays[k])
+            if tuple(a.shape) != tuple(spec.shape):
+                raise ValueError(
+                    f"input {k!r}: expected shape {tuple(spec.shape)}, got {a.shape}"
+                )
+            inputs[k] = jnp.asarray(a.astype(spec.dtype))
+
+        with self._lock:
+            if sid not in self.sessions:
+                raise KeyError(sid)
+            state = self.sessions[sid]
+            new_state, outs = self.run(state, inputs)
+            self.sessions[sid] = new_state
+
+        result = {k: np.asarray(jax.device_get(outs[k])) for k in _OUTPUT_KEYS}
+        vs = jax.device_get(outs["vehicle_state"])
+        for f in ("x", "y", "speed", "heading", "acceleration", "yaw_rate"):
+            result[f"vehicle_{f}"] = np.asarray(getattr(vs, f))
+        tags = outs.get("tags") or {}
+        for k, v in tags.items():
+            result[f"tag_{k}"] = np.asarray(jax.device_get(v))
+        return result
+
+
+def _npz_bytes(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _npz_load(data: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(data), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def make_handler(server: PipelineServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "device": server.device,
+                        "frames_per_chunk": server.chunk,
+                    },
+                )
+            elif path == "/info":
+                cfg = server.cfg
+                self._json(
+                    200,
+                    {
+                        "use_frames": cfg.use_frames,
+                        "enable_tagging": cfg.enable_tagging,
+                        "max_detections": cfg.detector.max_detections,
+                        "max_tracks": cfg.tracker.max_tracks,
+                        "frame_size": [cfg.frame_width, cfg.frame_height],
+                        "artifact_bytes": server.artifact_bytes,
+                        "sessions": len(server.sessions),
+                    },
+                )
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            try:
+                if url.path == "/session":
+                    self._json(200, {"session": server.create_session()})
+                elif url.path == "/reset":
+                    server.reset_session(q["session"][0])
+                    self._json(200, {"status": "reset"})
+                elif url.path == "/infer":
+                    out = server.infer(q["session"][0], _npz_load(body))
+                    self._send(200, _npz_bytes(out), "application/octet-stream")
+                else:
+                    self._json(404, {"error": "not found"})
+            except KeyError as e:
+                self._json(404, {"error": f"unknown session {e}"})
+            except Exception as e:  # noqa: BLE001 — surface to client
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(
+    cfg=None,
+    chunk: int = 64,
+    port: int = 8701,
+    block: bool = True,
+    artifact: Optional[bytes] = None,
+):
+    """Start the inference server; returns the HTTPServer when non-blocking."""
+    ps = PipelineServer(cfg=cfg, chunk=chunk, artifact=artifact)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(ps))
+    httpd.pipeline_server = ps
+    print(
+        f"Serving AOT pipeline artifact ({ps.artifact_bytes} bytes, "
+        f"{chunk}-frame chunks) on :{port}"
+    )
+    if block:
+        httpd.serve_forever()
+    else:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="AOT pipeline inference server")
+    parser.add_argument("--port", type=int, default=8701)
+    parser.add_argument("--chunk", type=int, default=64)
+    parser.add_argument("--no-tagging", action="store_true")
+    args = parser.parse_args(argv)
+
+    from .. import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=False, enable_tagging=not args.no_tagging
+    )
+    serve(cfg=cfg, chunk=args.chunk, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

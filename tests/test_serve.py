@@ -1,0 +1,113 @@
+"""Inference server: AOT artifact serving, sessions, chunk chaining."""
+
+import io
+import json
+import urllib.request
+
+import jax
+import numpy as np
+
+from multimodal_autonomous_driving_perception_and_planning_tpu import (
+    DEFAULT_CONFIG,
+    initial_state,
+    make_sequence_runner,
+)
+from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import serve
+from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+    ego_motion_stream,
+    simulated_detection_stream,
+)
+
+PORT = 8723
+CHUNK = 10
+
+
+def _post(path, data=b""):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}", data=data, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.read(), r.headers.get("Content-Type", "")
+
+
+def _chunk_npz(cfg, start, n):
+    dets = simulated_detection_stream(
+        n,
+        height=cfg.frame_height,
+        width=cfg.frame_width,
+        capacity=cfg.detector.max_detections,
+        start_frame_count=start + 1,
+    )
+    ego = ego_motion_stream(start + n, dt=1.0 / 30.0, seed=0)[start:]
+    buf = io.BytesIO()
+    np.savez(buf, ego_measurement=ego.astype(np.float32), **dets)
+    return buf.getvalue(), dets, ego
+
+
+def test_serve_sessions_and_chunk_chaining():
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    httpd = serve(cfg=cfg, chunk=CHUNK, port=PORT, block=False)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/healthz", timeout=60
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["frames_per_chunk"] == CHUNK
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{PORT}/info", timeout=60) as r:
+            info = json.loads(r.read())
+        assert info["artifact_bytes"] > 10_000
+
+        body, _ = _post("/session")
+        sid = json.loads(body)["session"]
+
+        # Two 10-frame chunks through the server...
+        outs = []
+        all_inputs = []
+        for start in (0, CHUNK):
+            payload, dets, ego = _chunk_npz(cfg, start, CHUNK)
+            all_inputs.append((dets, ego))
+            raw, ctype = _post(f"/infer?session={sid}", payload)
+            assert ctype == "application/octet-stream"
+            with np.load(io.BytesIO(raw)) as z:
+                outs.append({k: z[k] for k in z.files})
+
+        # ...must equal one monolithic 20-frame scan (state chains).
+        run = make_sequence_runner(cfg, donate=False)
+        dets0, _ = all_inputs[0][0], None
+        full_dets = {
+            k: np.concatenate([all_inputs[0][0][k], all_inputs[1][0][k]])
+            for k in all_inputs[0][0]
+        }
+        full_ego = ego_motion_stream(2 * CHUNK, dt=1.0 / 30.0, seed=0)
+        inputs = {k: jax.numpy.asarray(v) for k, v in full_dets.items()}
+        inputs["ego_measurement"] = jax.numpy.asarray(full_ego, jax.numpy.float32)
+        _, direct = run(initial_state(cfg), inputs)
+
+        got_ids = np.concatenate([o["track_id"] for o in outs])
+        np.testing.assert_array_equal(got_ids, np.asarray(direct["track_id"]))
+        got_speed = np.concatenate([o["vehicle_speed"] for o in outs])
+        np.testing.assert_allclose(
+            got_speed, np.asarray(direct["vehicle_state"].speed), rtol=0, atol=0
+        )
+
+        # Reset gives a fresh scan: chunk 0 again reproduces chunk-0 outputs.
+        _post(f"/reset?session={sid}")
+        payload, _, _ = _chunk_npz(cfg, 0, CHUNK)
+        raw, _ = _post(f"/infer?session={sid}", payload)
+        with np.load(io.BytesIO(raw)) as z:
+            again = {k: z[k] for k in z.files}
+        np.testing.assert_array_equal(again["track_id"], outs[0]["track_id"])
+
+        # Shape errors surface as 400s with a message.
+        bad = io.BytesIO()
+        np.savez(bad, bbox=np.zeros((3, 2)))
+        try:
+            _post(f"/infer?session={sid}", bad.getvalue())
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+        assert raised
+    finally:
+        httpd.shutdown()
