@@ -322,7 +322,7 @@ def bench_yolo(repeats, batch=128, reps=8):
     )
 
 
-def bench_yolo_e2e(repeats, num_frames=64, batch=16):
+def bench_yolo_e2e(repeats, num_frames=128, batch=128):
     """BASELINE config 3 end-to-end, fused: camera frames in -> YOLO ->
     tracker -> ego estimator -> planner -> plans out, ONE device program."""
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
