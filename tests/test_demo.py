@@ -34,3 +34,37 @@ def test_run_demo_console_contract_and_writer(tmp_path, monkeypatch, capsys):
     cap = cv2.VideoCapture(str(video))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 60
     cap.release()
+
+
+def test_run_demo_with_video_file(tmp_path, monkeypatch, capsys):
+    """The reference's primary CLI path: --video file -> VideoDataLoader ->
+    full pipeline (frames mode) -> console summary."""
+    import cv2
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+
+    # Author a small real mp4 from synthetic road frames.
+    src = str(tmp_path / "road.mp4")
+    gen = SyntheticRoadGenerator(640, 480)
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 30, (640, 480))
+    for f in gen.generate_frames(12):
+        w.write(f)
+    w.release()
+
+    monkeypatch.chdir(tmp_path)
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.demo import (
+        run_demo,
+    )
+
+    run_demo(
+        video_path=src,
+        num_frames=10,
+        save_video=False,
+        display=False,
+        use_frames=True,
+        enable_tagging=True,
+    )
+    out = capsys.readouterr().out
+    assert "Demo Complete!" in out and "Processed 10 frames" in out
