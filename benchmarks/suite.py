@@ -677,9 +677,70 @@ def bench_streaming_overlap(repeats, total=192, chunk=64):
     )
 
 
+
+def bench_blip(repeats, batch=8, max_new_tokens=20, prompt_capacity=8):
+    """On-TPU VLM captioning path (models/blip.py): base-size BLIP
+    (12+12 layers, 768 hidden, 384x384 images), greedy decode, vmapped
+    over a batch of images.  Random-init weights — decode cost is
+    shape-deterministic (fixed-length scan, no early exit), so the
+    timing is identical to converted-checkpoint inference.  Reference
+    path being replaced: BLIP via torch on CPU at 5-10 s/caption
+    (app.py:626, vlm_tagger.py:119-190)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models.blip import (
+        BlipConfig,
+        make_caption_fn,
+    )
+
+    cfg = BlipConfig()
+    init_fn, caption_fn = make_caption_fn(cfg, max_new_tokens=max_new_tokens)
+    params = init_fn(jax.random.PRNGKey(0), prompt_capacity)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(
+        jnp.asarray(
+            rng.standard_normal((batch, cfg.image_size, cfg.image_size, 3)),
+            jnp.float32,
+        )
+    )
+    prompt = np.full((prompt_capacity,), cfg.pad_token_id, np.int32)
+    prompt[0] = cfg.bos_token_id
+    prompt[1:4] = [1037, 6302, 1997]  # "a photo of"
+    prompt_ids = jnp.asarray(prompt)
+    plen = jnp.asarray(4, jnp.int32)
+
+    reps = 2
+
+    def fn(nonce, params, imgs):
+        def body(carry, _):
+            d, _z = carry
+            toks, lens = jax.vmap(
+                lambda im: caption_fn(params, im[None], prompt_ids, plen)
+            )(imgs + nonce * 1e-30 + d * 1e-30)
+            return (d + jnp.sum(toks).astype(jnp.float32) + jnp.sum(lens), 0), None
+
+        (digest, _), _ = jax.lax.scan(body, (nonce, 0), None, length=reps)
+        return digest
+
+    f = jax.jit(fn)
+    best, p50 = _time_digest(f, params, imgs, repeats=repeats)
+    floor, _ = measure_dispatch_floor(3)
+    per = max(best - floor, 1e-9) / (reps * batch)
+    emit(
+        "blip_caption_latency_ms",
+        per * 1e3,
+        "ms/caption",
+        batch=batch,
+        new_tokens=max_new_tokens,
+        captions_per_s=round(1.0 / per, 1),
+        note="reference: 5-10 s/caption (torch CPU)",
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--vlm", action="store_true",
+                        help="include the BLIP captioning benchmark "
+                             "(base-size model; adds a multi-minute compile)")
     args = parser.parse_args()
     repeats = 3 if args.quick else 10
 
@@ -701,6 +762,8 @@ def main():
     bench_multicamera_frames(repeats)
     bench_frames(repeats)
     bench_streaming_overlap(repeats)
+    if args.vlm:
+        bench_blip(repeats)
 
 
 if __name__ == "__main__":
