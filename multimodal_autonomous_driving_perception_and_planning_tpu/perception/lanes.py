@@ -52,8 +52,21 @@ def fit_lane_polynomial(
     return jnp.stack([a / (h * h), b / h, c])
 
 
-def _separate_and_fit(lines, valid, width: int, height: int, max_lines: int):
-    """Slope/midpoint split (lane_detector.py:105-134) + per-side fit."""
+def _separate_and_fit(
+    lines, valid, width: int, height: int, max_lines: int, fit_samples: int = 8
+):
+    """Slope/midpoint split (lane_detector.py:105-134) + per-side fit.
+
+    The reference fits np.polyfit on the endpoints of *many* HoughLinesP
+    sub-segments whose breakpoints scatter along the whole lane
+    (lane_detector.py:146-156), so its quadratic is constrained across the
+    full y-range.  Our deterministic Hough reconstructs ONE maximal
+    segment per line — endpoint-only fitting would see just two tight
+    y-clusters and leave the curvature term ill-conditioned (measured
+    ~60 px error mid-lane on synthetic roads).  Sampling ``fit_samples``
+    points uniformly along each kept segment restores the reference's
+    support distribution.
+    """
     x1, y1, x2, y2 = lines[:, 0], lines[:, 1], lines[:, 2], lines[:, 3]
     dx = x2 - x1
     vertical = dx == 0
@@ -64,13 +77,17 @@ def _separate_and_fit(lines, valid, width: int, height: int, max_lines: int):
     left = usable & (slope < 0) & (mid < cx)
     right = usable & (slope > 0) & (mid > cx)
 
+    # (L, S) sample grid along each segment, endpoints included.
+    t = jnp.linspace(0.0, 1.0, fit_samples)[None, :]
+    sx = (x1[:, None] + (x2 - x1)[:, None] * t).reshape(-1)
+    sy = (y1[:, None] + (y2 - y1)[:, None] * t).reshape(-1)
+
     def fit_side(mask):
         n = jnp.sum(mask.astype(jnp.int32))
-        # Each segment contributes both endpoints (lane_detector.py:146-148).
-        xs = jnp.concatenate([x1, x2])
-        ys = jnp.concatenate([y1, y2])
-        w = jnp.concatenate([mask, mask]).astype(jnp.float32)
-        coeffs = fit_lane_polynomial(xs, ys, w, float(height))
+        w = jnp.broadcast_to(
+            mask[:, None], (mask.shape[0], fit_samples)
+        ).reshape(-1).astype(jnp.float32)
+        coeffs = fit_lane_polynomial(sx, sy, w, float(height))
         found = n > 0
         conf = jnp.minimum(1.0, n.astype(jnp.float32) / 10.0)
         return coeffs, found, conf

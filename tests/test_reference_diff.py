@@ -505,3 +505,88 @@ def test_tag_database_rows_match_reference(host_tagger, ref_run, ref, tmp_path):
     assert [r.frame_idx for r in got_hr] == [r.frame_idx for r in want_hr]
     ref_db.close()
     my_db.close()
+
+
+# ---------------------------------------------------------------------------
+# L1: lane detector (system-level, tolerance-based)
+# ---------------------------------------------------------------------------
+
+
+def test_lane_fits_match_reference_detector(ref, monkeypatch):
+    """src/perception/lane_detector.py vs perception/lanes.py on synthetic
+    road frames.
+
+    The reference uses cv2.HoughLinesP — *probabilistic* (samples edge
+    pixels through OpenCV's global RNG), pinned here with cv2.setRNGSeed.
+    Exact equality is impossible by construction (we vote densely over all
+    edges, it samples), so parity is asserted where SURVEY section 7
+    defines it: at the lane-fit output level — both sides find both lanes,
+    and the rasterized lane x-positions agree within a few pixels in the
+    well-constrained lower half of the ROI.
+
+    Version shim: this environment has OpenCV 5.0, whose HoughLinesP
+    returns (N, 4); the reference unpacks 4.x's (N, 1, 4) at
+    lane_detector.py:114 and crashes outright on 5.x. The monkeypatch
+    restores 4.x semantics so the reference's own code can run at all.
+    """
+    import cv2
+    import jax
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.lanes import (
+        make_lane_step,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.types import (
+        LaneState,
+    )
+
+    sys.path.insert(0, REFERENCE_ROOT) if REFERENCE_ROOT not in sys.path else None
+    from src.perception.lane_detector import LaneDetector
+
+    cfg = DEFAULT_CONFIG
+    h, w = cfg.frame_height, cfg.frame_width
+    gen = SyntheticRoadGenerator(w, h)
+    frames = gen.generate_frames(8)
+
+    orig_hough = cv2.HoughLinesP
+
+    def hough_4x(*args, **kwargs):
+        lines = orig_hough(*args, **kwargs)
+        if lines is not None and lines.ndim == 2:
+            lines = lines.reshape(-1, 1, 4)
+        return lines
+
+    monkeypatch.setattr(cv2, "HoughLinesP", hough_4x)
+
+    cv2.setRNGSeed(0)
+    ref_det = LaneDetector()
+    step = jax.jit(make_lane_step(cfg))
+    state = LaneState.initial()
+
+    for f in frames:
+        ref_left, ref_right = ref_det.detect(f)
+        state, obs, _ = step(state, jnp.asarray(f.astype(np.int32)))
+
+    assert ref_left is not None and ref_right is not None
+    assert bool(obs.left_found) and bool(obs.right_found)
+
+    def ref_x_at(lane, y):
+        a, b, c = lane.polynomial
+        return a * y * y + b * y + c
+
+    for side, lane, fit in (
+        ("left", ref_left, np.asarray(obs.left_fit)),
+        ("right", ref_right, np.asarray(obs.right_fit)),
+    ):
+        for yf in (0.95, 0.85, 0.75):
+            y = h * yf
+            ours = fit[0] * y * y + fit[1] * y + fit[2]
+            theirs = ref_x_at(lane, y)
+            # 16 px bounds the *reference's* own deviation from ground
+            # truth on this scene (its sampled right-lane fit sits ~14 px
+            # inside the true marking); our fit tracks ground truth to
+            # ~1-3 px at these points (asserted below).
+            assert abs(ours - theirs) < 16.0, (side, yf, ours, theirs)
+            assert abs(ours - gen.lane_x_at(side, y)) < 6.0, (side, yf, ours)
