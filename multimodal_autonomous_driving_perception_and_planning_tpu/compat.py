@@ -16,9 +16,10 @@ so per-frame latency is dominated by dispatch overhead on remote-attached
 runtimes — use the fused runner for throughput.  Outputs are the host
 records from `host.py` (same field names as the reference dataclasses).
 
-Classes already reference-named elsewhere (not duplicated here):
-`ObjectDetector` (perception/detector.py), `AutoTagger`
-(tagging/auto_tagger.py), `VLMTagger` (tagging/vlm.py), `TagDatabase`
+`AutoTagger` here extends tagging/auto_tagger.AutoTagger with the
+reference's per-frame `tag_frame`.  Classes already reference-named
+elsewhere (not duplicated here): `ObjectDetector` (perception/
+detector.py), `VLMTagger` (tagging/vlm.py), `TagDatabase`
 (database/tag_db.py), `VideoDataLoader` (data/video.py), `BEVRenderer` /
 `OverlayRenderer` (viz/), `SyntheticRoadGenerator` (data/frames.py, the
 reference's SyntheticDataGenerator).
@@ -32,6 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .config import DEFAULT_CONFIG
+from .tagging.auto_tagger import AutoTagger as _BaseAutoTagger
 from .host import (
     CLASS_NAMES,
     EgoStateHistory,
@@ -372,6 +374,218 @@ class MotionPlanner:
 
     def reset(self) -> None:  # motion_planner.py:372-374 (stateless)
         pass
+
+
+class AutoTagger(_BaseAutoTagger):
+    """Per-frame `tag_frame` facade over the device rule engines
+    (auto_tagger.py:112-208), on top of the aggregation/search/export
+    surface the base class already provides.
+
+    ``tag_frame(frame, detections, tracks, lanes, vehicle_state)`` runs
+    the scene/maneuver/interaction classifiers on device for one frame,
+    appends a FrameTags record, and returns it — the reference signature
+    exactly.  ``frame`` may be None (no visual features, like the fused
+    pipeline's detections mode); ``lanes`` is the (left, right) LaneLine
+    pair from `LaneDetector.detect` or None.
+    """
+
+    def __init__(self, video_path: str = "unknown", fps: float = 30.0, cfg=None):
+        super().__init__(video_path=video_path, fps=fps)
+        from .types import TaggingState
+
+        self.cfg = cfg or DEFAULT_CONFIG
+        tg = self.cfg.tagging
+        self._t_cap = self.cfg.tracker.max_tracks
+        self._initial = lambda: TaggingState.initial(
+            tg.scene_smoothing_window, tg.maneuver_history, self._t_cap
+        )
+        self._state = self._initial()
+        self._slots: Dict[int, int] = {}  # track_id -> stable slot
+        self._steps: Dict[Tuple[bool, bool], object] = {}
+        self._feat_fn = None
+
+    def _tagging_step(self, has_lanes: bool, has_feats: bool):
+        import jax
+
+        key = (has_lanes, has_feats)
+        if key not in self._steps:
+            from .tagging.rules import make_tagging_step
+
+            step = make_tagging_step(self.cfg)
+
+            def run(state, dets, table, confirmed, n, vstate, lane_obs, feats):
+                return step(
+                    state,
+                    dets=dets,
+                    table=table,
+                    confirmed=confirmed,
+                    n_confirmed=n,
+                    vstate=vstate,
+                    lane_obs=lane_obs if has_lanes else None,
+                    frame_feats=feats if has_feats else None,
+                )
+
+            self._steps[key] = jax.jit(run, static_argnums=())
+        return self._steps[key]
+
+    def _frame_features(self, frame):
+        import jax
+
+        if self._feat_fn is None:
+            from .ops.image import bgr_to_gray_u8
+            from .perception.lanes import make_scene_features
+
+            feats = make_scene_features(self.cfg)
+
+            def fn(f):
+                return feats(f, bgr_to_gray_u8(f))
+
+            self._feat_fn = jax.jit(fn)
+        import jax.numpy as jnp
+
+        return self._feat_fn(jnp.asarray(np.asarray(frame).astype(np.int32)))
+
+    def _build_tables(self, detections, tracks):
+        import jax.numpy as jnp
+
+        from .types import Detections, TrackTable
+
+        d = self.cfg.detector.max_detections
+        bbox = np.zeros((d, 4), np.float32)
+        cid = np.zeros((d,), np.int32)
+        conf = np.zeros((d,), np.float32)
+        valid = np.zeros((d,), bool)
+        for j, det in enumerate(detections[:d]):
+            bbox[j] = det.bbox
+            cid[j] = det.class_id
+            conf[j] = det.confidence
+            valid[j] = True
+        dets = Detections(
+            bbox=jnp.asarray(bbox),
+            class_id=jnp.asarray(cid),
+            confidence=jnp.asarray(conf),
+            valid=jnp.asarray(valid),
+        )
+
+        # Stable slot assignment so the interaction history rings
+        # (TaggingState.int_centers, keyed by slot + track id) persist.
+        T = self._t_cap
+        live_ids = {t.track_id for t in tracks}
+        self._slots = {i: s for i, s in self._slots.items() if i in live_ids}
+        used = set(self._slots.values())
+        for t in tracks:
+            if t.track_id not in self._slots:
+                s = next(i for i in range(T) if i not in used)
+                self._slots[t.track_id] = s
+                used.add(s)
+
+        tid = np.zeros((T,), np.int32)
+        tb = np.zeros((T, 4), np.float32)
+        tc = np.zeros((T,), np.int32)
+        tcf = np.zeros((T,), np.float32)
+        age = np.zeros((T,), np.int32)
+        hits = np.zeros((T,), np.int32)
+        miss = np.zeros((T,), np.int32)
+        vel = np.zeros((T, 2), np.float32)
+        vcnt = np.zeros((T,), np.int32)
+        L = self.cfg.tracker.trajectory_length
+        for t in tracks:
+            s = self._slots[t.track_id]
+            tid[s] = t.track_id
+            tb[s] = t.bbox
+            tc[s] = t.class_id
+            tcf[s] = t.confidence
+            age[s] = t.age
+            hits[s] = max(t.hits, self.cfg.tracker.min_hits)
+            miss[s] = t.misses
+            if t.velocity is not None:
+                vel[s] = t.velocity
+                vcnt[s] = 1
+        table = TrackTable(
+            track_id=jnp.asarray(tid),
+            bbox=jnp.asarray(tb),
+            class_id=jnp.asarray(tc),
+            confidence=jnp.asarray(tcf),
+            age=jnp.asarray(age),
+            hits=jnp.asarray(hits),
+            misses=jnp.asarray(miss),
+            trajectory=jnp.zeros((T, 2 * L), jnp.float32),
+            traj_len=jnp.zeros((T,), jnp.int32),
+            velocity=jnp.asarray(vel),
+            vel_count=jnp.asarray(vcnt),
+            next_id=jnp.asarray(max([t.track_id for t in tracks], default=0) + 1,
+                                jnp.int32),
+        )
+        order = np.argsort(np.where(tid > 0, tid, np.iinfo(np.int32).max)).astype(
+            np.int32
+        )
+        return dets, table, jnp.asarray(order), jnp.asarray(len(tracks), jnp.int32)
+
+    def tag_frame(self, frame, detections, tracks, lanes, vehicle_state):
+        import jax
+        import jax.numpy as jnp
+
+        from .types import LaneObservation, VehicleState
+
+        dets, table, order, n = self._build_tables(detections or [], tracks or [])
+
+        vs = VehicleState(
+            **{
+                k: jnp.asarray(getattr(vehicle_state, k), jnp.float32)
+                for k in (
+                    "x", "y", "vx", "vy", "heading", "speed", "acceleration",
+                    "yaw_rate", "timestamp", "pos_uncertainty", "vel_uncertainty",
+                )
+            }
+        )
+
+        has_lanes = lanes is not None and any(l is not None for l in lanes)
+        lane_obs = None
+        if has_lanes:
+            left, right = lanes
+            z = jnp.zeros((3,), jnp.float32)
+            lf = jnp.asarray(left.polynomial, jnp.float32) if left is not None else z
+            rf = jnp.asarray(right.polynomial, jnp.float32) if right is not None else z
+            both = left is not None and right is not None
+            h = float(self.cfg.frame_height)
+            if both:
+                lane_center = (
+                    float(np.trunc(np.polyval(np.asarray(lf), h)))
+                    + float(np.trunc(np.polyval(np.asarray(rf), h)))
+                ) / 2.0
+                offset = self.cfg.frame_width / 2.0 - lane_center
+            else:
+                offset = 0.0
+            lane_obs = LaneObservation(
+                left_fit=lf,
+                right_fit=rf,
+                left_found=jnp.asarray(left is not None),
+                right_found=jnp.asarray(right is not None),
+                left_confidence=jnp.asarray(
+                    left.confidence if left is not None else 0.0, jnp.float32
+                ),
+                right_confidence=jnp.asarray(
+                    right.confidence if right is not None else 0.0, jnp.float32
+                ),
+                offset_px=jnp.asarray(offset, jnp.float32),
+                has_offset=jnp.asarray(both),
+            )
+
+        has_feats = frame is not None
+        feats = self._frame_features(frame) if has_feats else None
+
+        step = self._tagging_step(has_lanes, has_feats)
+        self._state, tags = step(
+            self._state, dets, table, order, n, vs, lane_obs, feats
+        )
+        host_tags = jax.tree_util.tree_map(lambda x: np.asarray(x)[None], tags)
+        self.ingest_device_tags(host_tags, 1)
+        return self.frame_tags[-1]
+
+    def reset(self) -> None:
+        super().reset()
+        self._state = self._initial()
+        self._slots = {}
 
 
 class SimulatedVehicleMotion:

@@ -95,11 +95,49 @@ def _separate_and_fit(
     return fit_side(left), fit_side(right)
 
 
+def make_scene_features(cfg: PipelineConfig):
+    """Scene-classifier frame features (scene_classifier.py:145-257): a
+    *second* fixed-threshold Canny+Hough pass plus HSV/brightness/Laplacian
+    stats.  Shared by the fused lane step and the per-frame compat facade."""
+    h, w = cfg.frame_height, cfg.frame_width
+    lc = cfg.lanes
+
+    def scene_features(frame: jnp.ndarray, gray: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        edges2 = canny(gray, jnp.float32(50.0), jnp.float32(150.0))
+        center = edges2[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3]
+        center_density = jnp.mean(center.astype(jnp.float32))
+
+        scene_hl = hough_segments(
+            edges2,
+            vote_threshold=100,
+            min_line_length=100.0,
+            num_thetas=lc.num_thetas,
+            max_lines=lc.max_lines,
+            edge_capacity=lc.scene_edge_capacity,
+        )
+        n_scene_lines = jnp.sum(scene_hl.valid.astype(jnp.int32))
+        avg_len = jnp.sum(jnp.where(scene_hl.valid, scene_hl.length, 0.0)) / jnp.maximum(
+            n_scene_lines, 1
+        ).astype(jnp.float32)
+
+        return {
+            "center_edge_density": center_density,
+            "num_long_lines": n_scene_lines,
+            "avg_line_length": avg_len,
+            "green_ratio": bgr_to_hsv_green_ratio(frame),
+            "brightness": jnp.mean(gray.astype(jnp.float32)),
+            "laplacian_var": laplacian_variance(gray),
+        }
+
+    return scene_features
+
+
 def make_lane_step(cfg: PipelineConfig):
     h, w = cfg.frame_height, cfg.frame_width
     roi = trapezoid_roi_mask(h, w)
     lc = cfg.lanes
     sf = lc.smoothing_factor
+    scene_features = make_scene_features(cfg)
 
     def lane_step(
         state: LaneState, frame: jnp.ndarray
@@ -165,31 +203,7 @@ def make_lane_step(cfg: PipelineConfig):
         )
 
         # --- scene-classifier frame features -----------------------------
-        edges2 = canny(gray, jnp.float32(50.0), jnp.float32(150.0))
-        center = edges2[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3]
-        center_density = jnp.mean(center.astype(jnp.float32))
-
-        scene_hl = hough_segments(
-            edges2,
-            vote_threshold=100,
-            min_line_length=100.0,
-            num_thetas=lc.num_thetas,
-            max_lines=lc.max_lines,
-            edge_capacity=lc.scene_edge_capacity,
-        )
-        n_scene_lines = jnp.sum(scene_hl.valid.astype(jnp.int32))
-        avg_len = jnp.sum(jnp.where(scene_hl.valid, scene_hl.length, 0.0)) / jnp.maximum(
-            n_scene_lines, 1
-        ).astype(jnp.float32)
-
-        feats = {
-            "center_edge_density": center_density,
-            "num_long_lines": n_scene_lines,
-            "avg_line_length": avg_len,
-            "green_ratio": bgr_to_hsv_green_ratio(frame),
-            "brightness": jnp.mean(gray.astype(jnp.float32)),
-            "laplacian_var": laplacian_variance(gray),
-        }
+        feats = scene_features(frame, gray)
         return new_state, obs, feats
 
     return lane_step

@@ -1,6 +1,7 @@
 """Reference-named per-frame facades (compat.py) vs the fused runner."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from multimodal_autonomous_driving_perception_and_planning_tpu import (
@@ -135,3 +136,79 @@ def test_planner_obstacle_penalty_changes_choice():
     )
     assert blocked.cost > free.cost
     assert blocked.trajectory_type != "lane_keep" or blocked.cost > free.cost
+
+
+def test_auto_tagger_facade_matches_fused_pipeline():
+    """compat.AutoTagger.tag_frame (reference signature, per frame) must
+    reproduce the fused pipeline's device tags over the synthetic stream —
+    including the cross-frame smoothing/history state."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.compat import (
+        AutoTagger,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.host import (
+        extract_frame,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.tagging.auto_tagger import (
+        AutoTagger as BaseTagger,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    dets, ego = _stream_frames()
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    _, outs = make_sequence_runner(cfg, donate=False)(initial_state(cfg), inputs)
+    import jax
+
+    outs = jax.tree_util.tree_map(np.asarray, outs)
+    base = BaseTagger(video_path="synthetic", fps=30.0)
+    base.ingest_device_tags(outs["tags"], N)
+
+    facade = AutoTagger(video_path="synthetic", fps=30.0, cfg=cfg)
+    for f in range(N):
+        res = extract_frame(outs, dets, f)
+        ft = facade.tag_frame(
+            None,
+            detections=res.detections,
+            tracks=res.tracks,
+            lanes=None,
+            vehicle_state=res.vehicle_state,
+        )
+        want = base.frame_tags[f]
+        assert sorted(ft.all_tags) == sorted(want.all_tags), (f, ft.all_tags, want.all_tags)
+        # The interactions detail list is ordered by track-table slot — an
+        # internal layout artifact that differs between the facade's slot
+        # assignment and the tracker's — and host->device float round-trips
+        # perturb derived floats at ~1e-7: compare structurally with approx
+        # floats and order-insensitive interactions.
+        def approx(a, b, path=""):
+            if isinstance(a, dict):
+                assert isinstance(b, dict) and a.keys() == b.keys(), (f, path)
+                for k in a:
+                    approx(a[k], b[k], f"{path}.{k}")
+            elif isinstance(a, (list, tuple)):
+                assert len(a) == len(b), (f, path)
+                for j, (x, y) in enumerate(zip(a, b)):
+                    approx(x, y, f"{path}[{j}]")
+            elif isinstance(a, float) and isinstance(b, float):
+                assert a == pytest.approx(b, rel=1e-4, abs=1e-4), (f, path, a, b)
+            else:
+                assert a == b, (f, path, a, b)
+
+        def canon(i):
+            i = dict(i)
+            i["interactions"] = sorted(
+                i["interactions"], key=lambda d: (d["type"], d["distance"])
+            )
+            return i
+
+        approx(canon(ft.interaction), canon(want.interaction), "interaction")
+        approx(ft.scene, want.scene, "scene")
+        approx(ft.maneuver, want.maneuver, "maneuver")
+
+    # The inherited aggregation surface agrees too.
+    assert facade.get_tag_statistics()["total_frames"] == N
+    assert [t.frame_idx for t in facade.get_high_risk_frames()] == [
+        t.frame_idx for t in base.get_high_risk_frames()
+    ]
+    facade.reset()
+    assert facade.frame_tags == []
