@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
-from ..host import CLASS_NAMES, HostDetection
+from ..host import CLASS_COLORS, CLASS_NAMES, HostDetection
 
 
 def make_yolo_frontend(
@@ -155,6 +155,10 @@ class ObjectDetector:
     returns the device detection tables the pipeline consumes.
     """
 
+    # Reference class attributes (detector.py:39-60).
+    CLASSES = {i: n for i, n in enumerate(CLASS_NAMES)}
+    CLASS_COLORS = dict(CLASS_COLORS)
+
     def __init__(
         self,
         mode: str = "simulated",
@@ -252,6 +256,18 @@ class ObjectDetector:
         )
         self.frame_count += t
         return {k: jnp.asarray(v) for k, v in stream.items()}
+
+    def draw_detections(
+        self,
+        frame: np.ndarray,
+        detections,
+        show_labels: bool = True,
+        show_confidence: bool = True,
+    ) -> np.ndarray:
+        """Reference detector.py:171-222 (delegates to viz.draw_detections)."""
+        from ..viz.draw import draw_detections
+
+        return draw_detections(frame, detections, show_labels, show_confidence)
 
     def reset(self) -> None:
         self.frame_count = 0

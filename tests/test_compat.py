@@ -212,3 +212,21 @@ def test_auto_tagger_facade_matches_fused_pipeline():
     ]
     facade.reset()
     assert facade.frame_tags == []
+
+
+def test_object_detector_reference_surface():
+    """detector.py:39-60,171-222: class attrs + draw_detections method."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.detector import (
+        ObjectDetector,
+    )
+
+    d = ObjectDetector()
+    assert d.CLASSES[0] == "car" and d.CLASSES[2] == "pedestrian"
+    assert d.CLASS_COLORS[0] == (0, 255, 0)
+    frame = np.zeros((480, 640, 3), np.uint8)
+    dets = d.detect(frame)
+    assert 3 <= len(dets) <= 7  # detector.py:137
+    out = d.draw_detections(frame, dets)
+    assert out.shape == frame.shape and out.sum() > 0
+    d.reset()
+    assert d.frame_count == 0
