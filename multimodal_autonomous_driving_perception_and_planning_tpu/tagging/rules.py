@@ -418,19 +418,21 @@ def make_tagging_step(cfg: PipelineConfig):
         has_ttc = has_ttc & (ttc > 0)
 
         # Per-slot center history ring; reset slots claimed by a new id.
+        # The ring write/reads use dense one-hot selects over the (T, 2H)
+        # buffer instead of per-row scatter/gather (a scatter with a
+        # per-row dynamic column is the expensive lowering on TPU; the
+        # masked select is a single fused VPU pass and bit-exact — the
+        # gather-by-sum has exactly one nonzero term per row).
         same_owner = state.int_track_id == table.track_id
         lens = jnp.where(same_owner, state.int_len, 0)
         centers = table.center  # (T, 2)
         widx = lens % H
-        rows = jnp.arange(t_cap)
-        cur_x = state.int_centers[rows, 2 * widx]
-        cur_y = state.int_centers[rows, 2 * widx + 1]
-        int_centers = state.int_centers.at[rows, 2 * widx].set(
-            jnp.where(confirmed, centers[:, 0], cur_x)
-        )
-        int_centers = int_centers.at[rows, 2 * widx + 1].set(
-            jnp.where(confirmed, centers[:, 1], cur_y)
-        )
+        cols = jnp.arange(2 * H)
+        pair = cols // 2  # (2H,) history index of each column
+        is_x = (cols % 2) == 0
+        val = jnp.where(is_x[None, :], centers[:, 0:1], centers[:, 1:2])  # (T, 2H)
+        write = (pair[None, :] == widx[:, None]) & confirmed[:, None]
+        int_centers = jnp.where(write, val, state.int_centers)
         new_lens = jnp.where(confirmed, lens + 1, lens)
 
         # Cut-in drift test uses oldest vs newest (:358-364), evaluated on
@@ -440,8 +442,13 @@ def make_tagging_step(cfg: PipelineConfig):
         hist_len = new_lens
         oldest_idx = jnp.where(hist_len < H, 0, hist_len % H)
         newest_idx = (hist_len - 1) % H
-        start_x = int_centers[rows, 2 * oldest_idx]
-        end_x = int_centers[rows, 2 * newest_idx]
+
+        def gather_x(idx):
+            sel = (pair[None, :] == idx[:, None]) & is_x[None, :]
+            return jnp.sum(jnp.where(sel, int_centers, 0.0), axis=1)
+
+        start_x = gather_x(oldest_idx)
+        end_x = gather_x(newest_idx)
         cut_drift = jnp.abs(end_x - w / 2.0) < jnp.abs(start_x - w / 2.0)
 
         cx = (bbox[:, 0] + bbox[:, 2]) / 2.0
