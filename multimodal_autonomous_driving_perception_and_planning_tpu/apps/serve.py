@@ -21,6 +21,13 @@ Endpoints:
                           each with leading time axis == chunk size;
                           returns npz of per-frame outputs
   POST /reset?session=id  reset the session's scan state
+  DELETE /session?session=id  drop a session (frees its device state)
+
+Each session pins a full PipelineState on device, so the session table
+is bounded: at ``max_sessions`` the least-recently-used session is
+evicted (a later request against it gets 404 and should re-create).
+The server binds 127.0.0.1 by default — pass ``--host 0.0.0.0`` only
+behind an authenticating proxy; /session is unauthenticated.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 from urllib.parse import parse_qs, urlparse
@@ -52,7 +60,13 @@ _OUTPUT_KEYS = (
 class PipelineServer:
     """Owns the exported runner, sessions, and the device lock."""
 
-    def __init__(self, cfg=None, chunk: int = 64, artifact: Optional[bytes] = None):
+    def __init__(
+        self,
+        cfg=None,
+        chunk: int = 64,
+        artifact: Optional[bytes] = None,
+        max_sessions: int = 64,
+    ):
         import jax
 
         from .. import DEFAULT_CONFIG
@@ -74,7 +88,8 @@ class PipelineServer:
         self.run = deserialize_runner(artifact, self.cfg, self.chunk)
         self._initial_state = lambda: initial_state(self.cfg)
         self._example = example_sequence_inputs(self.cfg, self.chunk)
-        self.sessions: Dict[str, Any] = {}
+        self.sessions: "OrderedDict[str, Any]" = OrderedDict()  # LRU order
+        self.max_sessions = int(max_sessions)
         self._next_id = 0
         self._lock = threading.Lock()  # one device program at a time
         self.device = jax.devices()[0].platform
@@ -82,6 +97,8 @@ class PipelineServer:
     # -- session management -------------------------------------------------
     def create_session(self) -> str:
         with self._lock:
+            while len(self.sessions) >= self.max_sessions:
+                self.sessions.popitem(last=False)  # evict least-recently-used
             sid = f"s{self._next_id}"
             self._next_id += 1
             self.sessions[sid] = self._initial_state()
@@ -92,6 +109,13 @@ class PipelineServer:
             if sid not in self.sessions:
                 raise KeyError(sid)
             self.sessions[sid] = self._initial_state()
+            self.sessions.move_to_end(sid)
+
+    def delete_session(self, sid: str) -> None:
+        with self._lock:
+            if sid not in self.sessions:
+                raise KeyError(sid)
+            del self.sessions[sid]
 
     # -- inference ----------------------------------------------------------
     def infer(self, sid: str, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -117,6 +141,7 @@ class PipelineServer:
             state = self.sessions[sid]
             new_state, outs = self.run(state, inputs)
             self.sessions[sid] = new_state
+            self.sessions.move_to_end(sid)
 
         result = {k: np.asarray(jax.device_get(outs[k])) for k in _OUTPUT_KEYS}
         vs = jax.device_get(outs["vehicle_state"])
@@ -177,6 +202,7 @@ def make_handler(server: PipelineServer):
                         "frame_size": [cfg.frame_width, cfg.frame_height],
                         "artifact_bytes": server.artifact_bytes,
                         "sessions": len(server.sessions),
+                        "max_sessions": server.max_sessions,
                     },
                 )
             else:
@@ -203,6 +229,18 @@ def make_handler(server: PipelineServer):
             except Exception as e:  # noqa: BLE001 — surface to client
                 self._json(400, {"error": str(e)})
 
+        def do_DELETE(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            try:
+                if url.path == "/session":
+                    server.delete_session(q["session"][0])
+                    self._json(200, {"status": "deleted"})
+                else:
+                    self._json(404, {"error": "not found"})
+            except KeyError as e:
+                self._json(404, {"error": f"unknown session {e}"})
+
     return Handler
 
 
@@ -212,10 +250,14 @@ def serve(
     port: int = 8701,
     block: bool = True,
     artifact: Optional[bytes] = None,
+    host: str = "127.0.0.1",
+    max_sessions: int = 64,
 ):
     """Start the inference server; returns the HTTPServer when non-blocking."""
-    ps = PipelineServer(cfg=cfg, chunk=chunk, artifact=artifact)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(ps))
+    ps = PipelineServer(
+        cfg=cfg, chunk=chunk, artifact=artifact, max_sessions=max_sessions
+    )
+    httpd = ThreadingHTTPServer((host, port), make_handler(ps))
     httpd.pipeline_server = ps
     print(
         f"Serving AOT pipeline artifact ({ps.artifact_bytes} bytes, "
@@ -236,6 +278,12 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8701)
     parser.add_argument("--chunk", type=int, default=64)
     parser.add_argument("--no-tagging", action="store_true")
+    parser.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address; 0.0.0.0 only behind an authenticating proxy",
+    )
+    parser.add_argument("--max-sessions", type=int, default=64)
     args = parser.parse_args(argv)
 
     from .. import DEFAULT_CONFIG
@@ -243,7 +291,13 @@ def main(argv=None):
     cfg = DEFAULT_CONFIG.replace(
         use_frames=False, enable_tagging=not args.no_tagging
     )
-    serve(cfg=cfg, chunk=args.chunk, port=args.port)
+    serve(
+        cfg=cfg,
+        chunk=args.chunk,
+        port=args.port,
+        host=args.host,
+        max_sessions=args.max_sessions,
+    )
 
 
 if __name__ == "__main__":

@@ -94,12 +94,19 @@ class LaneDetector:
         return left, right
 
     def get_lane_center_offset(
-        self, left: Optional[LaneLine], right: Optional[LaneLine], frame_width: int
+        self,
+        frame_width: int,
+        left_lane: Optional[LaneLine],
+        right_lane: Optional[LaneLine],
     ) -> Optional[float]:
-        """lane_detector.py:253-272."""
-        if left is None or right is None:
+        """lane_detector.py:253-272 — argument order matches the reference
+        (frame_width first), as called positionally at reference demo.py:128
+        and app.py:173."""
+        if left_lane is None or right_lane is None:
             return None
-        lane_center = (float(left.points[-1, 0]) + float(right.points[-1, 0])) / 2
+        lane_center = (
+            float(left_lane.points[-1, 0]) + float(right_lane.points[-1, 0])
+        ) / 2
         return frame_width / 2 - lane_center
 
     def reset(self) -> None:
@@ -108,7 +115,15 @@ class LaneDetector:
 
 class MultiObjectTracker:
     """Per-frame facade over tracking/tracker.py
-    (multi_object_tracker.py:61-241)."""
+    (multi_object_tracker.py:61-241).
+
+    Unlike the reference (which accepts unbounded detection lists), the
+    device table is fixed-shape: ``max_detections`` caps how many
+    detections one ``update`` call may carry.  The default (32) matches
+    the YOLO detector's ``max_det`` (models/yolov8.py) so a
+    reference-ported YOLO pipeline never trips the capacity check; raise
+    it at construction for denser scenes.
+    """
 
     def __init__(
         self,
@@ -117,7 +132,7 @@ class MultiObjectTracker:
         min_hits: int = 3,
         trajectory_length: int = 50,
         max_tracks: int = 64,
-        max_detections: int = 16,
+        max_detections: int = 32,
     ):
         import jax
 
@@ -475,7 +490,14 @@ class AutoTagger(_BaseAutoTagger):
         used = set(self._slots.values())
         for t in tracks:
             if t.track_id not in self._slots:
-                s = next(i for i in range(T) if i not in used)
+                s = next((i for i in range(T) if i not in used), None)
+                if s is None:
+                    raise ValueError(
+                        f"{len(tracks)} live tracks exceed the tagging slot "
+                        f"capacity {T} (cfg.tracker.max_tracks); construct "
+                        "AutoTagger with a cfg whose tracker.max_tracks "
+                        "matches the paired MultiObjectTracker"
+                    )
                 self._slots[t.track_id] = s
                 used.add(s)
 

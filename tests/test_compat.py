@@ -112,8 +112,9 @@ def test_lane_detector_facade_finds_lanes():
         y = h * 0.8
         x = np.polyval(lane.polynomial, y)
         assert abs(x - gen.lane_x_at(side, y)) < 8.0, (side, x)
-    off = det.get_lane_center_offset(left, right, cfg.frame_width)
+    off = det.get_lane_center_offset(cfg.frame_width, left, right)
     assert off is not None and abs(off) < 12.0
+    assert det.get_lane_center_offset(cfg.frame_width, None, right) is None
     det.reset()
 
 

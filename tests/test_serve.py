@@ -111,3 +111,31 @@ def test_serve_sessions_and_chunk_chaining():
         assert raised
     finally:
         httpd.shutdown()
+
+
+def test_session_lru_eviction_and_delete():
+    """Session table is bounded (LRU) and DELETE /session frees state."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import (
+        PipelineServer,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    ps = PipelineServer(cfg=cfg, chunk=4, max_sessions=3)
+    sids = [ps.create_session() for _ in range(3)]
+    assert len(ps.sessions) == 3
+
+    # Touch s0 so s1 becomes the LRU victim.
+    ps.reset_session(sids[0])
+    s_new = ps.create_session()
+    assert len(ps.sessions) == 3
+    assert sids[1] not in ps.sessions  # evicted
+    assert sids[0] in ps.sessions and s_new in ps.sessions
+
+    ps.delete_session(s_new)
+    assert s_new not in ps.sessions
+    try:
+        ps.delete_session(s_new)
+        raised = False
+    except KeyError:
+        raised = True
+    assert raised
