@@ -52,8 +52,17 @@ def main():
     # Match the reference headline's configuration: demo.py runs
     # detect->track->estimate->plan with NO tagging (SURVEY.md L7 — tagging
     # only runs in the Streamlit app).  benchmarks/suite.py reports the
-    # tagging-on variant separately.
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    # tagging-on variant separately.  Output volume is the serving tier's
+    # (apps/serve.py _OUTPUT_KEYS): best plan + track summaries; the
+    # viz-only candidate tensors and trajectory rings are opt-in
+    # (PipelineConfig.emit_*) and cost more to stack than the frame costs
+    # to compute.
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=False,
+        enable_tagging=False,
+        emit_candidates=False,
+        emit_trajectories=False,
+    )
     inputs = _pipeline_inputs(NUM_FRAMES)
     f = _scan_bench_fn(cfg, REPS)
 

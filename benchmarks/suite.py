@@ -172,7 +172,8 @@ def bench_single_step(repeats):
         detections_from_arrays,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True,
+                                 emit_candidates=False, emit_trajectories=False)
     step = make_pipeline_step(cfg)
     state = initial_state(cfg)
     frame0 = {k: v[0] for k, v in simulated_detection_stream(1).items()}
@@ -203,7 +204,8 @@ def bench_sequence(repeats, num_frames=300, reps=20):
     )
 
     total = num_frames * reps
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False,
+                                 emit_candidates=False, emit_trajectories=False)
     f = _scan_bench_fn(cfg, reps)
     inputs = _pipeline_inputs(num_frames)
     best, p50 = _time_digest(f, inputs, repeats=repeats)
@@ -216,7 +218,8 @@ def bench_sequence(repeats, num_frames=300, reps=20):
         frames_per_call=total,
     )
 
-    cfg_tag = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    cfg_tag = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True,
+                                     emit_candidates=False, emit_trajectories=False)
     f_tag = _scan_bench_fn(cfg_tag, reps)
     best, p50 = _time_digest(f_tag, inputs, repeats=repeats)
     emit(
@@ -336,7 +339,8 @@ def bench_yolo_e2e(repeats, num_frames=128, batch=128):
         make_yolo_sequence_runner,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False,
+                                 emit_candidates=False, emit_trajectories=False)
     init_fn, run = make_yolo_sequence_runner(cfg, batch=batch)
     variables = init_fn(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -377,7 +381,8 @@ def bench_dense_traffic(repeats, num_frames=300, reps=10):
         DEFAULT_CONFIG,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True,
+                                 emit_candidates=False, emit_trajectories=False)
     cfg = cfg.replace(
         detector=cfg.detector.__class__(max_detections=64),
         tracker=cfg.tracker.__class__(max_tracks=128),
@@ -478,7 +483,8 @@ def bench_multicamera(repeats, cams=8, num_frames=300, reps=5):
         stack_states,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True,
+                                 emit_candidates=False, emit_trajectories=False)
     n_dev = len(jax.devices())
     mesh = make_camera_mesh(n_dev)
     runner = make_multicamera_runner(cfg, mesh)
@@ -536,7 +542,8 @@ def bench_multicamera_frames(repeats, cams=8, num_frames=120, reps=5):
         stack_states,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True,
+                                 emit_candidates=False, emit_trajectories=False)
     n_dev = len(jax.devices())
     mesh = make_camera_mesh(n_dev)
     runner = make_multicamera_runner(cfg, mesh)
@@ -594,7 +601,8 @@ def bench_frames(repeats, num_frames=120, reps=3):
         SyntheticRoadGenerator,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True,
+                                 emit_candidates=False, emit_trajectories=False)
     frames = SyntheticRoadGenerator().generate_frames(num_frames)
     inputs = _pipeline_inputs(num_frames)
     inputs["frame"] = jax.device_put(jnp.asarray(frames))
@@ -635,7 +643,8 @@ def bench_streaming_overlap(repeats, total=192, chunk=64):
         run_stream,
     )
 
-    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True,
+                                 emit_candidates=False, emit_trajectories=False)
 
     def one_overlapped():
         with NativeFrameSource(

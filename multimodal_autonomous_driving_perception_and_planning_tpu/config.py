@@ -193,6 +193,17 @@ class PipelineConfig:
     enable_tagging: bool = True
     # Compute dtype for image kernels; state math stays float32.
     image_dtype: str = "float32"
+    # Per-frame output volume knobs.  Each array the scan stacks costs one
+    # dynamic-update-slice per frame, and the candidate/trajectory tensors
+    # dominate that traffic ((C, W, 2) x2 plans + the (T, 2L) ring =
+    # ~60 KB/frame).  Visualization consumers (demo, webview, dashboard)
+    # need them and leave these on; the serving tier (apps/serve.py
+    # _OUTPUT_KEYS) and the throughput benchmarks ship only best-plan +
+    # track summaries, mirroring what the reference demo actually consumes
+    # per frame (it renders the optimal trajectory + top-10 candidates,
+    # demo.py:142-143, but serves nothing else downstream).
+    emit_candidates: bool = True  # plan_positions/velocities/order/lateral
+    emit_trajectories: bool = True  # track_trajectory ring + traj_len
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -33,8 +33,17 @@ def greedy_associate(
     iou: jnp.ndarray,
     row_rank: jnp.ndarray,
     iou_threshold: float,
+    backend: str | None = None,
 ) -> jnp.ndarray:
     """Greedy max-IoU matching.
+
+    On TPU this dispatches (at trace time) to the Pallas kernel in
+    `association_pallas` — the same fixpoint run inside one Mosaic kernel,
+    ~3x faster because each round is a VMEM-resident branch instead of an
+    XLA while-iteration with condition sync.  Everywhere else (CPU tests,
+    interpret runs) the XLA formulation below executes.  `backend`
+    overrides the `jax.default_backend()` probe ("tpu"/"cpu") for callers
+    that jit for a non-default device.
 
     Args:
       iou: (T, D) matrix; entries for invalid rows/cols must already be -1
@@ -49,6 +58,12 @@ def greedy_associate(
     Returns:
       match: (T,) int32, matched detection index per row, -1 if unmatched.
     """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        from .association_pallas import greedy_associate_pallas
+
+        return greedy_associate_pallas(iou, row_rank, iou_threshold)
     T, D = iou.shape
     det_idx = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
     key = row_rank[:, None] * D + det_idx  # (T, D) tie-break, asc = earlier

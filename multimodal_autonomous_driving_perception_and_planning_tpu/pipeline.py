@@ -146,19 +146,23 @@ def make_pipeline_step(cfg: PipelineConfig):
             "confirmed_order": order,
             "num_confirmed": n_confirmed,
             "match": match,
-            "track_trajectory": table.trajectory,
-            "track_traj_len": table.traj_len,
             "vehicle_state": vstate,
             "plan_costs": pr.costs,
             "plan_best": pr.best,
-            "plan_order": pr.order,
-            "plan_positions": pr.positions,
-            "plan_velocities": pr.velocities,
-            "plan_lateral_offsets": pr.lateral_offsets,
             "plan_best_positions": pr.positions[pr.best],
             "plan_best_velocities": pr.velocities[pr.best],
             "tags": tags,
         }
+        # Bulky viz-only outputs are opt-in (see PipelineConfig.emit_*):
+        # stacking them costs more than computing the rest of the frame.
+        if cfg.emit_trajectories:
+            out["track_trajectory"] = table.trajectory
+            out["track_traj_len"] = table.traj_len
+        if cfg.emit_candidates:
+            out["plan_order"] = pr.order
+            out["plan_positions"] = pr.positions
+            out["plan_velocities"] = pr.velocities
+            out["plan_lateral_offsets"] = pr.lateral_offsets
         if lane_obs is not None:
             out["lane_obs"] = lane_obs
         return new_state, out

@@ -37,6 +37,31 @@ from ..types import Detections, TrackTable
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _rank_by_count(key: jnp.ndarray) -> jnp.ndarray:
+    """Stable ascending rank of each element: equivalent to
+    ``argsort(argsort(key))`` with stable ties, computed as one (N, N)
+    comparison pass.  TPU lowers `argsort` to a multi-stage bitonic
+    network; at table sizes (<=128) counting dominated pairs in a single
+    fused VPU pass is several times cheaper."""
+    n = key.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # j (row) index
+    lt = key[:, None] < key[None, :]  # [j, i]: key_j < key_i
+    tie_before = (key[:, None] == key[None, :]) & (
+        idx < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    )
+    return jnp.sum(lt | tie_before, axis=0).astype(jnp.int32)
+
+
+def _invert_permutation(rank: jnp.ndarray) -> jnp.ndarray:
+    """order[r] = i such that rank[i] == r, without scatter/argsort: an
+    (N, N) equality mask contracted against the index vector."""
+    n = rank.shape[0]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # output rank r
+    eq = rank[None, :] == r_iota  # [r, i]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.sum(jnp.where(eq, idx, 0), axis=1).astype(jnp.int32)
+
+
 def id_rank(table: TrackTable) -> jnp.ndarray:
     """Rank of each slot in the reference's iteration order.
 
@@ -45,9 +70,7 @@ def id_rank(table: TrackTable) -> jnp.ndarray:
     get the largest ranks.
     """
     key = jnp.where(table.alive, table.track_id, _I32_MAX)
-    order = jnp.argsort(key)
-    t = table.track_id.shape[0]
-    return jnp.zeros((t,), jnp.int32).at[order].set(jnp.arange(t, dtype=jnp.int32))
+    return _rank_by_count(key)
 
 
 def confirmed_mask(table: TrackTable, min_hits: int) -> jnp.ndarray:
@@ -58,7 +81,7 @@ def confirmed_order(table: TrackTable, min_hits: int) -> Tuple[jnp.ndarray, jnp.
     """Slots of confirmed tracks sorted ascending by id, plus the count."""
     mask = confirmed_mask(table, min_hits)
     key = jnp.where(mask, table.track_id, _I32_MAX)
-    order = jnp.argsort(key).astype(jnp.int32)
+    order = _invert_permutation(_rank_by_count(key))
     return order, jnp.sum(mask).astype(jnp.int32)
 
 
@@ -97,15 +120,19 @@ def tracker_update(
     vel_count = table.vel_count + matched.astype(jnp.int32)
 
     # Trajectory ring append for matched slots (flat [x0, y0, x1, y1, ...]).
+    # Written as dense masked selects over the (T, 2L) buffer: per-row
+    # dynamic-column scatter (`.at[rows, 2*widx].set`) is the expensive TPU
+    # lowering (same pathology the tagging interaction ring hit, see
+    # benchmarks/ANALYSIS.md §3); one fused where-pass is bit-identical.
     widx = table.traj_len % traj_cap  # (T,)
-    rows = jnp.arange(t_cap)
-    cur_x = table.trajectory[rows, 2 * widx]
-    cur_y = table.trajectory[rows, 2 * widx + 1]
-    trajectory = table.trajectory.at[rows, 2 * widx].set(
-        jnp.where(matched, new_center[:, 0], cur_x)
-    )
-    trajectory = trajectory.at[rows, 2 * widx + 1].set(
-        jnp.where(matched, new_center[:, 1], cur_y)
+    col = jnp.arange(2 * traj_cap, dtype=jnp.int32)
+    at_slot = (col[None, :] // 2) == widx[:, None]  # (T, 2L)
+    is_x = (col % 2 == 0)[None, :]
+    write = matched[:, None] & at_slot
+    trajectory = jnp.where(
+        write,
+        jnp.where(is_x, new_center[:, 0:1], new_center[:, 1:2]),
+        table.trajectory,
     )
     traj_len = table.traj_len + matched.astype(jnp.int32)
 
@@ -139,11 +166,21 @@ def tracker_update(
     n_birth = jnp.minimum(jnp.sum(want), jnp.sum(free)).astype(jnp.int32)
 
     k_cap = min(t_cap, d_cap)
-    det_ids = jnp.arange(d_cap, dtype=jnp.int32)
-    slot_ids = jnp.arange(t_cap, dtype=jnp.int32)
-    # Stable compaction: wanted det indices ascending, then the rest.
-    det_order = jnp.argsort(jnp.where(want, det_ids, d_cap + det_ids))[:k_cap]
-    slot_order = jnp.argsort(jnp.where(free, slot_ids, t_cap + slot_ids))[:k_cap]
+    # Stable compaction (wanted indices ascending, then the rest) without
+    # argsort: the rank of a wanted element is its exclusive prefix count
+    # of wanted predecessors; unwanted elements rank after all wanted ones.
+    # Inverting that rank (equality-mask contraction) yields the order.
+    def compact_order(mask):
+        n = mask.shape[0]
+        m = mask.astype(jnp.int32)
+        before = jnp.cumsum(m) - m  # exclusive prefix count of mask
+        n_mask = jnp.sum(m)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        rank = jnp.where(mask, before, n_mask + (idx - before))
+        return _invert_permutation(rank)[:k_cap]
+
+    det_order = compact_order(want)
+    slot_order = compact_order(free)
     k = jnp.arange(k_cap, dtype=jnp.int32)
     active = k < n_birth
     # Inactive lanes scatter to index t_cap, dropped by mode="drop".
