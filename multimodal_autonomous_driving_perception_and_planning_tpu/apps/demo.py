@@ -21,17 +21,30 @@ from pathlib import Path
 import numpy as np
 
 
-def _build_inputs(frames: np.ndarray, num_frames: int, dt: float, use_frames: bool, cfg):
+def _build_inputs(
+    frames: np.ndarray,
+    num_frames: int,
+    dt: float,
+    use_frames: bool,
+    cfg,
+    detector=None,
+):
     import jax.numpy as jnp
 
     from ..data.synthetic import ego_motion_stream, simulated_detection_stream
 
-    dets = simulated_detection_stream(
-        num_frames,
-        height=cfg.frame_height,
-        width=cfg.frame_width,
-        capacity=cfg.detector.max_detections,
-    )
+    if detector is not None and detector.mode == "yolo":
+        # Real YOLO weights (--yolo --weights path.npz): batch-detect the
+        # whole frame stack on device, then feed the tables to the scan.
+        out = detector._stream_fn(detector.variables, jnp.asarray(frames))
+        dets = {k: np.asarray(v) for k, v in out.items()}
+    else:
+        dets = simulated_detection_stream(
+            num_frames,
+            height=cfg.frame_height,
+            width=cfg.frame_width,
+            capacity=cfg.detector.max_detections,
+        )
     ego = ego_motion_stream(num_frames, dt=dt, seed=0)
     inputs = {k: jnp.asarray(v) for k, v in dets.items()}
     inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
@@ -61,6 +74,8 @@ def run_demo(
     use_frames: bool = True,
     enable_tagging: bool = True,
     smooth_tracks: bool = False,
+    yolo: bool = False,
+    weights: str = None,
 ):
     import cv2
     import jax
@@ -122,7 +137,16 @@ def run_demo(
     print("Starting processing pipeline...")
     print("=" * 60)
 
-    dets, inputs = _build_inputs(frames, total, dt, use_frames, cfg)
+    detector = None
+    if yolo:
+        from ..perception.detector import ObjectDetector
+
+        print(f"      YOLO detector (weights: {weights or 'random init'})")
+        detector = ObjectDetector(
+            cfg, mode="yolo", model_path=weights or ""
+        )
+    dets, inputs = _build_inputs(frames, total, dt, use_frames, cfg,
+                                 detector=detector)
     runner = make_sequence_runner(cfg, donate=False)
 
     # Compile and execute separately so the reported device rate is the
@@ -328,6 +352,12 @@ def main(argv=None):
                              "(yellow dots = smoothed track centers)")
     parser.add_argument("--test", action="store_true",
                         help="Run the six-component smoke test and exit")
+    parser.add_argument("--yolo", action="store_true",
+                        help="Detect with the on-device YOLOv8 instead of "
+                             "the simulated detector")
+    parser.add_argument("--weights", type=str, default=None,
+                        help="YOLO weights: .npz from tools/export_weights.py "
+                             "or a torch state_dict .pt")
     args = parser.parse_args(argv)
 
     if args.test:
@@ -350,6 +380,8 @@ def main(argv=None):
         use_frames=not args.no_lanes,
         enable_tagging=not args.no_tagging,
         smooth_tracks=args.smooth_tracks,
+        yolo=args.yolo,
+        weights=args.weights,
     )
 
 

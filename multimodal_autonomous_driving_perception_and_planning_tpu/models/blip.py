@@ -349,6 +349,154 @@ def make_caption_fn(cfg: BlipConfig, max_new_tokens: int = 40):
     return init_fn, caption_fn
 
 
+def make_beam_caption_fn(
+    cfg: BlipConfig, max_new_tokens: int = 40, num_beams: int = 3
+):
+    """Beam-search captioning — the reference's decode semantics on TPU.
+
+    The reference captions with ``generate(num_beams=3)``
+    (src/tagging/vlm_tagger.py:177).  This replicates transformers'
+    vectorized beam search (generation/utils.py `_beam_search`, v4.57) as
+    a fixed-width `lax.scan`: 2N candidate continuations per step, running
+    vs finished beam pools, HF's length-penalty normalization
+    (``sum_logprobs / generated_len``), the early-stopping=False
+    "highest attainable score" heuristic, and freeze-on-done semantics in
+    place of the host-side while loop.  Defaults (length_penalty=1.0,
+    early_stopping=False, do_sample=False) match HF GenerationConfig.
+
+    Same contract as `make_caption_fn`'s caption_fn:
+    ``caption_fn(params, pixel_values, prompt_ids, prompt_len)`` returns
+    ``(token_ids (L,), length)`` for the best hypothesis, with everything
+    after the SEP padded; L = prompt_capacity + max_new_tokens.
+    """
+    model = BlipForCaptioning(cfg)
+    N = num_beams
+    K = 2 * num_beams  # beams_to_keep with one EOS token
+    NEG = jnp.float32(-1.0e9)
+    length_penalty = 1.0
+
+    def init_fn(rng, prompt_capacity: int = 16):
+        if prompt_capacity + max_new_tokens > cfg.max_position:
+            raise ValueError(
+                f"prompt_capacity + max_new_tokens = "
+                f"{prompt_capacity + max_new_tokens} exceeds max_position "
+                f"{cfg.max_position}"
+            )
+        dummy_img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        dummy_ids = jnp.zeros((1, prompt_capacity + max_new_tokens), jnp.int32)
+        return model.init(rng, dummy_img, dummy_ids)
+
+    def caption_fn(params, pixel_values, prompt_ids, prompt_len):
+        L = prompt_ids.shape[0] + max_new_tokens
+        if L > cfg.max_position:
+            raise ValueError(
+                f"decode length {L} exceeds max_position {cfg.max_position}"
+            )
+        V = cfg.vocab_size
+        cross_kvs = model.apply(
+            params, pixel_values, method=BlipForCaptioning.encode_cross
+        )
+        # Broadcast the (1, H, S, D) cross K/V to the beam batch.
+        cross_kvs = jax.tree_util.tree_map(
+            lambda t: jnp.broadcast_to(t, (N,) + t.shape[1:]), cross_kvs
+        )
+
+        prompt_buf = jnp.zeros((L,), jnp.int32).at[: prompt_ids.shape[0]].set(
+            prompt_ids
+        )
+        run_seqs = jnp.broadcast_to(prompt_buf, (N, L)).astype(jnp.int32)
+        run_scores = jnp.full((N,), NEG).at[0].set(0.0)
+        fin_seqs = run_seqs
+        fin_scores = jnp.full((N,), NEG)
+        fin_mask = jnp.zeros((N,), bool)
+        unsat = jnp.asarray(True)  # early-stop heuristic still unsatisfied
+        done = jnp.asarray(False)
+        max_len_total = prompt_len + max_new_tokens
+        top_beam_mask = jnp.arange(K) < N  # only ranks < N may finalize
+
+        def step(carry, i):
+            run_seqs, run_scores, fin_seqs, fin_scores, fin_mask, unsat, done = carry
+            active = (i >= prompt_len) & (i < max_len_total) & ~done
+
+            logits = model.apply(
+                params, run_seqs, cross_kvs, method=BlipForCaptioning.decode
+            )  # (N, L, V)
+            logp = jax.nn.log_softmax(logits[:, i - 1].astype(jnp.float32), axis=-1)
+            cand = (run_scores[:, None] + logp).reshape(N * V)
+            topk_vals, topk_idx = jax.lax.top_k(cand, K)
+            topk_beam = topk_idx // V
+            topk_tok = (topk_idx % V).astype(jnp.int32)
+            topk_seqs = run_seqs[topk_beam].at[:, i].set(topk_tok)  # (K, L)
+
+            # Stopping criteria per candidate: EOS just written, or the
+            # sequence has reached max length.
+            hits = (topk_tok == cfg.sep_token_id) | (i + 1 >= max_len_total)
+
+            # Next running beams: best N candidates that did NOT finish.
+            run_cand_scores = topk_vals + hits.astype(jnp.float32) * NEG
+            _, keep = jax.lax.top_k(run_cand_scores, N)
+            new_run_seqs = topk_seqs[keep]
+            new_run_scores = run_cand_scores[keep]
+
+            # Finished pool: length-penalized scores of candidates that
+            # finished at rank < N, merged with the existing pool.
+            gen_len = (i + 1 - prompt_len).astype(jnp.float32)
+            pen = topk_vals / gen_len**length_penalty
+            did_finish = hits & top_beam_mask
+            pen = jnp.where(did_finish & unsat, pen, NEG)
+            merged_scores = jnp.concatenate([fin_scores, pen])
+            merged_seqs = jnp.concatenate([fin_seqs, topk_seqs])
+            merged_mask = jnp.concatenate([fin_mask, did_finish])
+            _, best = jax.lax.top_k(merged_scores, N)
+            new_fin_seqs = merged_seqs[best]
+            new_fin_scores = merged_scores[best]
+            new_fin_mask = merged_mask[best]
+
+            # Early-stopping heuristic (early_stopping=False branch): can
+            # the best running beam still beat the worst finished one?
+            best_possible = new_run_scores[0] / (
+                (i + 1 - prompt_len).astype(jnp.float32) ** length_penalty
+            )
+            worst_finished = jnp.where(
+                jnp.all(new_fin_mask), jnp.min(new_fin_scores), NEG
+            )
+            new_unsat = unsat & (best_possible > worst_finished)
+            new_done = done | ~(new_unsat & ~jnp.all(hits))
+
+            def sel(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(active, a, b), new, old
+                )
+
+            carry = (
+                sel(new_run_seqs, run_seqs),
+                sel(new_run_scores, run_scores),
+                sel(new_fin_seqs, fin_seqs),
+                sel(new_fin_scores, fin_scores),
+                sel(new_fin_mask, fin_mask),
+                sel(new_unsat, unsat),
+                sel(new_done, done),
+            )
+            return carry, None
+
+        carry = (run_seqs, run_scores, fin_seqs, fin_scores, fin_mask, unsat, done)
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, L))
+        _, _, fin_seqs, _, _, _, _ = carry
+
+        best_seq = fin_seqs[0]
+        pos = jnp.arange(L)
+        is_end = (best_seq == cfg.sep_token_id) & (pos >= prompt_len)
+        length = jnp.where(
+            jnp.any(is_end),
+            jnp.argmax(is_end),
+            jnp.minimum(prompt_len + max_new_tokens, L),
+        )
+        best_seq = jnp.where(pos <= length, best_seq, cfg.pad_token_id)
+        return best_seq, length.astype(jnp.int32)
+
+    return init_fn, caption_fn
+
+
 # ---------------------------------------------------------------------------
 # Weight import from HuggingFace torch BlipForConditionalGeneration
 # ---------------------------------------------------------------------------

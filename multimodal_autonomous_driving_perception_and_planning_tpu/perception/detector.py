@@ -190,11 +190,20 @@ class ObjectDetector:
                 self.variables = init_fn(jax.random.PRNGKey(rng_seed))
 
     def _try_load_weights(self, model_path: str):
-        """Accepts a torch state_dict checkpoint (see models.yolov8)."""
+        """Accepts a portable ``.npz`` archive (tools/export_weights.py —
+        no torch needed on this host) or a torch state_dict checkpoint
+        (see models.yolov8)."""
         try:
-            import torch
-
             from ..models.yolov8 import load_torch_state_dict
+
+            if model_path.endswith(".npz"):
+                from ..utils.weights import load_npz_state_dict
+
+                sd, meta = load_npz_state_dict(model_path)
+                return load_torch_state_dict(
+                    sd, variant=meta.get("variant") or "n"
+                )
+            import torch
 
             sd = torch.load(model_path, map_location="cpu", weights_only=True)
             if isinstance(sd, dict) and "state_dict" in sd:

@@ -269,16 +269,42 @@ class _JaxBlipBackend:
             from ..models.blip import (
                 BlipConfig,
                 load_torch_state_dict,
+                make_beam_caption_fn,
                 make_caption_fn,
             )
 
             from transformers import AutoTokenizer
 
-            self._tokenizer = AutoTokenizer.from_pretrained(self.cfg.model_name)
+            name = self.cfg.model_name
+            if name.endswith(".npz"):
+                # Portable-archive path: tokenizer files live next to the
+                # archive (copy tokenizer.json/vocab.txt when exporting) or
+                # resolve from the default hub name if cached.
+                import os
+
+                tok_dir = os.path.dirname(name) or "."
+                try:
+                    self._tokenizer = AutoTokenizer.from_pretrained(tok_dir)
+                except Exception:
+                    self._tokenizer = AutoTokenizer.from_pretrained(
+                        "Salesforce/blip-image-captioning-base"
+                    )
+            else:
+                self._tokenizer = AutoTokenizer.from_pretrained(name)
             self._bcfg = BlipConfig()
-            init_fn, caption_fn = make_caption_fn(
-                self._bcfg, max_new_tokens=self.cfg.max_new_tokens
-            )
+            # num_beams > 1 uses the scan beam search proven token-for-token
+            # against HF generate (the reference decodes with num_beams=3,
+            # vlm_tagger.py:177); 1 keeps the cheaper greedy scan.
+            if self.cfg.num_beams > 1:
+                init_fn, caption_fn = make_beam_caption_fn(
+                    self._bcfg,
+                    max_new_tokens=self.cfg.max_new_tokens,
+                    num_beams=self.cfg.num_beams,
+                )
+            else:
+                init_fn, caption_fn = make_caption_fn(
+                    self._bcfg, max_new_tokens=self.cfg.max_new_tokens
+                )
             state_dict = self._load_state_dict(self.cfg.model_name)
             self._params = load_torch_state_dict(state_dict, self._bcfg)
             self._caption = jax.jit(caption_fn)
@@ -292,6 +318,13 @@ class _JaxBlipBackend:
     def _load_state_dict(path: str):
         import os
 
+        if path.endswith(".npz") and os.path.exists(path):
+            # Portable archive from tools/export_weights.py — loads with
+            # numpy alone (no torch/safetensors on the TPU host).
+            from ..utils.weights import load_npz_state_dict
+
+            sd, _ = load_npz_state_dict(path)
+            return sd
         bin_path = os.path.join(path, "pytorch_model.bin")
         if os.path.exists(bin_path):
             import torch

@@ -155,6 +155,44 @@ def test_blip_greedy_decode_matches_hf_generate(hf_blip, jax_blip):
     assert got_tokens == want_tokens, (got_tokens, want_tokens)
 
 
+@pytest.mark.parametrize("seed,max_new", [(3, 8), (5, 12), (11, 20)])
+def test_blip_beam3_decode_matches_hf_generate(hf_blip, jax_blip, seed, max_new):
+    """The on-TPU beam search must reproduce the reference's caption
+    semantics: generate(num_beams=3) (vlm_tagger.py:177).  Token-for-token
+    against transformers' torch beam search on the same converted weights
+    (use_cache=False dodges the tiny-config cache_position bug the greedy
+    test documents)."""
+    cfg, variables = jax_blip
+    px = _rand_pixels(seed=seed)
+    px_t = torch.from_numpy(px.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = hf_blip.generate(
+            pixel_values=px_t,
+            num_beams=3,
+            max_new_tokens=max_new,
+            use_cache=False,
+        )[0].numpy()
+
+    init_fn, caption_fn = jblip.make_beam_caption_fn(
+        cfg, max_new_tokens=max_new, num_beams=3
+    )
+    prompt = jnp.asarray([1], jnp.int32)
+    buf, length = jax.jit(caption_fn)(
+        variables, jnp.asarray(px), prompt, jnp.asarray(1, jnp.int32)
+    )
+    buf = np.asarray(buf)
+    end = min(int(length) + 1, buf.shape[0])
+    got_tokens = buf[:end].tolist()
+    # HF crops at the longest returned hypothesis and pads short ones; crop
+    # its row the same way (stop after the first EOS past the prompt).
+    want_tokens = want.tolist()
+    for j in range(1, len(want_tokens)):
+        if want_tokens[j] == 2:
+            want_tokens = want_tokens[: j + 1]
+            break
+    assert got_tokens == want_tokens, (got_tokens, want_tokens)
+
+
 class _TorchConvBN(torch.nn.Module):
     """ultralytics Conv block (conv + bn + silu), key layout ``conv.*``/``bn.*``."""
 
