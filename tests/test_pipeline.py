@@ -58,19 +58,21 @@ def test_full_pipeline_matches_oracle_300_frames():
         got_ids = [int(track_ids[f, s]) for s in order[f][: int(ncon[f])]]
         assert got_ids == want_ids, f"frame {f}: {got_ids} vs {want_ids}"
 
-        # Ego-state parity within 1e-3 absolute over 300 f32 frames.
+        # Ego-state parity at the BASELINE 1e-4 contract (measured worst
+        # over 300 f32 frames: acceleration 4.4e-5; see PARITY.md budget).
         for field in ("x", "y", "speed", "heading", "acceleration"):
             got = float(np.asarray(getattr(vs, field))[f])
-            assert abs(got - state[field]) < 2e-3, (f, field, got, state[field])
+            assert abs(got - state[field]) < 1e-4, (f, field, got, state[field])
 
-        # Planner: same selected candidate, costs within rtol 1e-4.
+        # Planner: same selected candidate, costs at the 1e-4 contract
+        # (absolute: relative error is unbounded on near-zero costs).
         cands, corder = oracle_plan(
             (state["x"], state["y"], state["heading"], state["speed"])
         )
         # Compare plan computed from the *oracle* state with the device plan
         # computed from the device state: costs must agree to combined tol.
         np.testing.assert_allclose(
-            plan_costs[f], [c["cost"] for c in cands], rtol=5e-3, atol=5e-2
+            plan_costs[f], [c["cost"] for c in cands], rtol=0, atol=1e-4
         )
         assert int(plan_best[f]) == corder[0], f"frame {f} plan selection"
 
