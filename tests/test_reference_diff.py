@@ -458,6 +458,85 @@ def test_interaction_tags_match_reference(device_run, ref_run):
 
 
 # ---------------------------------------------------------------------------
+# L4: condition tags, frames mode (real visual features)
+# ---------------------------------------------------------------------------
+
+FRAMES_MODE_FRAMES = 60
+
+
+def test_condition_tags_match_reference_frames_mode(ref, monkeypatch):
+    """Visual "conditions" tags (night/day/congested/clear/fog) against the
+    reference's _analyze_conditions (scene_classifier.py:230-259), with the
+    REAL per-frame brightness/Laplacian features computed on device from
+    synthetic road frames — the comparison the detections-mode suite
+    excludes (module doc) because there it substitutes no-frame defaults.
+    """
+    import cv2
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+
+    # OpenCV 5 returns HoughLinesP as (N, 4); the reference's scene
+    # classifier unpacks 4.x's (N, 1, 4) (scene_classifier.py:156-160) —
+    # same shim as the lane differential test below.
+    orig_hough = cv2.HoughLinesP
+
+    def hough_4x(*args, **kwargs):
+        lines = orig_hough(*args, **kwargs)
+        if lines is not None and lines.ndim == 2:
+            lines = lines.reshape(-1, 1, 4)
+        return lines
+
+    monkeypatch.setattr(cv2, "HoughLinesP", hough_4x)
+
+    n = FRAMES_MODE_FRAMES
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    gen = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height)
+    frames = gen.generate_frames(n)
+    dets = simulated_detection_stream(n)
+    ego = ego_motion_stream(n, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    inputs["frame"] = jnp.asarray(np.ascontiguousarray(frames, np.uint8))
+    run = make_sequence_runner(cfg, donate=False)
+    import jax
+
+    _, outs = run(initial_state(cfg), inputs)
+    outs = jax.tree_util.tree_map(np.asarray, outs)
+
+    host = AutoTagger(video_path="synthetic", fps=30.0)
+    host.ingest_device_tags(outs["tags"], n)
+
+    detector = ref.ObjectDetector(mode="simulated")
+    tracker = ref.MultiObjectTracker()
+    estimator = ref.VehicleStateEstimator()
+    tagger = ref.AutoTagger(video_path="synthetic", fps=30.0)
+    for f in range(n):
+        frame = np.asarray(frames[f], np.uint8)
+        detections = detector.detect(frame)
+        tracks = tracker.update(detections)
+        vstate = estimator.step(np.asarray(ego[f], dtype=float))
+        ftags = tagger.tag_frame(
+            frame,
+            detections=detections,
+            tracks=tracks,
+            lanes=None,
+            vehicle_state=vstate,
+        )
+        ref_conds = (
+            ftags.scene.conditions
+            if hasattr(ftags.scene, "conditions")
+            else ftags.scene["conditions"]
+        )
+        want = [(c if isinstance(c, str) else c.value, round(float(v), 6))
+                for c, v in ref_conds]
+        got = [(c, round(float(v), 6))
+               for c, v in host.frame_tags[f].scene["conditions"]]
+        assert got == want, (f, got, want)
+
+
+# ---------------------------------------------------------------------------
 # L4: AutoTagger aggregation + L6: database
 # ---------------------------------------------------------------------------
 
