@@ -66,6 +66,12 @@ def main():
     inputs = _pipeline_inputs(NUM_FRAMES)
     f = _scan_bench_fn(cfg, REPS)
 
+    print(
+        "# compiling the 300-frame scan (first-ever run ~2-7 min on this "
+        "runtime; persistent cache makes later runs start in seconds)...",
+        file=sys.stderr,
+        flush=True,
+    )
     t0 = time.perf_counter()
     float(f(jnp.float32(0.0), inputs))  # compile + warm
     compile_s = time.perf_counter() - t0

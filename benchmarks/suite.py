@@ -261,7 +261,7 @@ def _compiled_flops(f, *args):
         return None
 
 
-def bench_yolo(repeats, batch=128, reps=8):
+def bench_yolo(repeats, batch=128, reps=8, variant="n", metric=None):
     """Streaming detection throughput: each jitted call processes ``reps``
     ``batch``-frame clips (bf16 convs on the MXU) of incompressible
     (random) frames, chained on the running digest so the tunnel's ~30 ms
@@ -274,7 +274,7 @@ def bench_yolo(repeats, batch=128, reps=8):
         make_yolo_detector,
     )
 
-    init_fn, detect_fn = make_yolo_detector(max_det=32)
+    init_fn, detect_fn = make_yolo_detector(variant=variant, max_det=32)
     variables = init_fn(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     frames = jax.device_put(
@@ -314,7 +314,7 @@ def bench_yolo(repeats, batch=128, reps=8):
             extra["mfu_pct"] = round(100.0 * tflops / peak, 2)
             extra["chip"] = kind
     emit(
-        "yolov8n_detect_fps_640",
+        metric or f"yolov8{variant}_detect_fps_640",
         batch / per_batch,
         "frames/s",
         batch=batch,
@@ -323,6 +323,13 @@ def bench_yolo(repeats, batch=128, reps=8):
         p50_ms_per_call=round(p50 * 1e3, 2),
         **extra,
     )
+
+
+def bench_yolo_variants(repeats, batch=64, reps=4):
+    """MFU scaling across YOLOv8 variants: yolov8n's 16-256 channel widths
+    underfill the 128x128 MXU (ANALYSIS.md section 2); the wider s variant
+    proves the same code path posts higher MFU as contraction dims grow."""
+    bench_yolo(repeats, batch=batch, reps=reps, variant="s")
 
 
 def bench_yolo_e2e(repeats, num_frames=128, batch=128):
@@ -414,6 +421,22 @@ def bench_dense_traffic(repeats, num_frames=300, reps=10):
         "frames/s",
         tracks=64,
         p50_ms_per_300f=round(p50 / reps * 1e3, 3),
+    )
+
+    # Stage split: the same dense stream with tagging off isolates the
+    # tracker+core cost from the tagging engines, so the association-path
+    # work (VERDICT r2 item 1) is tracked by driver-captured numbers.
+    cfg_nt = cfg.replace(enable_tagging=False)
+    f_nt = _scan_bench_fn(cfg_nt, reps)
+    best_nt, _ = _time_digest(f_nt, inputs, repeats=repeats)
+    us_total = best / total * 1e6
+    us_core = best_nt / total * 1e6
+    emit(
+        "dense_traffic_stage_split_us",
+        round(us_core, 2),
+        "us/frame (tracker+core)",
+        tagging_us=round(us_total - us_core, 2),
+        total_us=round(us_total, 2),
     )
 
 
@@ -645,6 +668,9 @@ def bench_streaming_overlap(repeats, total=192, chunk=64):
 
     cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True,
                                  emit_candidates=False, emit_trajectories=False)
+    # ONE runner for every variant: a fresh jit per run would measure the
+    # executable cache load (~seconds), not streaming.
+    runner = make_sequence_runner(cfg, donate=False)
 
     def one_overlapped():
         with NativeFrameSource(
@@ -652,11 +678,11 @@ def bench_streaming_overlap(repeats, total=192, chunk=64):
             slots=chunk * 2, num_frames=total,
         ) as src:
             t0 = _time.perf_counter()
-            _, stats = run_stream(cfg, src, total, chunk=chunk, collect_host=False)
+            _, stats = run_stream(cfg, src, total, chunk=chunk,
+                                  collect_host=False, runner=runner)
             return _time.perf_counter() - t0
 
     def one_serial():
-        runner = make_sequence_runner(cfg, donate=False)
         state = initial_state(cfg)
         with NativeFrameSource(
             width=cfg.frame_width, height=cfg.frame_height,
@@ -670,8 +696,9 @@ def bench_streaming_overlap(repeats, total=192, chunk=64):
                     break
                 _, inputs = _chunk_inputs(cfg, frames, start, 1.0 / 30.0)
                 state, outs = runner(state, inputs)
-                # Serial: block before decoding the next chunk.
-                jax.block_until_ready(outs["plan_best"])
+                # Serial: a real readback (block_until_ready can resolve
+                # early on this runtime) before decoding the next chunk.
+                np.asarray(outs["plan_best"])
                 start += frames.shape[0]
             return _time.perf_counter() - t0
 
@@ -766,6 +793,7 @@ def main():
     bench_single_step(repeats)
     bench_sequence(repeats)
     bench_yolo(repeats)
+    bench_yolo_variants(repeats)
     bench_yolo_e2e(repeats)
     bench_dense_traffic(repeats)
     bench_kalman_bank(repeats)

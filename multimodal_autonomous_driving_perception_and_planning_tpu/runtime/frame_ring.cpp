@@ -1,11 +1,21 @@
-// Native frame-source runtime: threaded producers + SPSC ring buffer.
+// Native frame-source runtime: multi-threaded producers + sequenced ring.
 //
 // The reference's data path is cv2.VideoCapture decoding frames one at a
 // time on the consumer thread (data/loaders/video_loader.py:86-131), which
-// serializes decode with compute.  This runtime decouples them: a producer
-// thread fills a fixed-slot ring (synthetic generation or raw-file reads
-// with readahead) while the Python/JAX consumer drains batches, so host
-// decode overlaps device execution.
+// serializes decode with compute.  This runtime decouples them: N producer
+// threads fill a fixed-slot ring (synthetic generation or raw-file pread
+// at computed offsets) while the Python/JAX consumer drains batches in
+// frame order, so host decode overlaps device execution.
+//
+// Concurrency model (Disruptor-style sequenced slots, no per-slot locks):
+//   * producers claim frame indices from an atomic counter; frame i lives
+//     in slot i % slots, so writers never contend for a slot;
+//   * a producer may fill slot i once the consumer has drained frame
+//     i - slots (ring depth credit);
+//   * slot_ready[i % slots] publishes the frame index with release
+//     semantics; the consumer takes frames strictly in order.
+// One mutex + two condvars carry the blocking edges (throughput here is
+// bounded by memory bandwidth, not synchronization).
 //
 // C ABI only — consumed via ctypes (no pybind11 in this environment).
 //
@@ -31,27 +41,31 @@ struct FrameRing {
   int slots = 0;
   size_t frame_bytes = 0;
 
-  std::vector<uint8_t> storage;      // slots * frame_bytes
-  std::vector<int64_t> slot_index;   // frame index stored in each slot
+  std::vector<uint8_t> storage;             // slots * frame_bytes
+  std::vector<std::atomic<int64_t>> ready;  // frame idx published per slot
 
   std::mutex mu;
   std::condition_variable not_empty;
   std::condition_variable not_full;
-  int64_t head = 0;  // next slot to consume
-  int64_t tail = 0;  // next slot to produce
-  bool done = false;
 
+  std::atomic<int64_t> next_claim{0};   // next frame index to produce
+  std::atomic<int64_t> consumed{0};     // frames drained (in order)
   std::atomic<int64_t> produced{0};
-  std::atomic<int64_t> consumed{0};
+  std::atomic<int64_t> total{-1};       // stream length once known
+  std::atomic<bool> stop{false};
 
-  std::thread producer;
+  std::vector<std::thread> producers;
+  void* background = nullptr;  // Background*, owned; freed in ring_destroy
 
-  uint8_t* slot_ptr(int64_t s) { return storage.data() + (s % slots) * frame_bytes; }
+  uint8_t* slot_ptr(int64_t i) { return storage.data() + (i % slots) * frame_bytes; }
 };
 
 // --- synthetic road-frame rasterizer -------------------------------------
 // Mirrors data/frames.py's SyntheticRoadGenerator geometry: sky gradient,
-// grass, road trapezoid to a vanishing point, solid lane edges.
+// grass, road trapezoid to a vanishing point, solid lane edges.  Static
+// rows (sky/grass/road base) are rasterized once into a per-ring template
+// and memcpy'd per frame — the per-pixel cost is only the dynamic vehicle
+// and the lane lines, leaving frame production memory-bandwidth-bound.
 
 void draw_line(uint8_t* img, int w, int h, int x0, int y0, int x1, int y1,
                int thickness, uint8_t b, uint8_t g, uint8_t r) {
@@ -73,35 +87,38 @@ void draw_line(uint8_t* img, int w, int h, int x0, int y0, int x1, int y1,
   }
 }
 
-void synth_frame(uint8_t* img, int w, int h, int64_t frame_idx) {
+// Static background (everything except the drifting vehicle), built once.
+void build_background(uint8_t* img, int w, int h) {
   const int vp_x = static_cast<int>(w * 0.5);
   const int vp_y = static_cast<int>(h * 0.45);
   const int left_x = static_cast<int>(w * 0.15);
   const int right_x = static_cast<int>(w * 0.85);
 
-  // Sky gradient then grass.
+  // Sky gradient: one 3-byte pattern per row, duplicated across the row.
   for (int y = 0; y < vp_y; ++y) {
     int shade = 200 - 60 * y / vp_y;
-    uint8_t bch = static_cast<uint8_t>(std::min(255, shade + 55));
-    uint8_t gch = static_cast<uint8_t>(shade);
-    uint8_t rch = static_cast<uint8_t>(std::max(0, shade - 30));
-    uint8_t* row = img + y * w * 3;
-    for (int x = 0; x < w; ++x) {
-      row[x * 3 + 0] = bch; row[x * 3 + 1] = gch; row[x * 3 + 2] = rch;
-    }
+    uint8_t px[3] = {static_cast<uint8_t>(std::min(255, shade + 55)),
+                     static_cast<uint8_t>(shade),
+                     static_cast<uint8_t>(std::max(0, shade - 30))};
+    uint8_t* row = img + static_cast<size_t>(y) * w * 3;
+    for (int x = 0; x < w; ++x) std::memcpy(row + x * 3, px, 3);
   }
-  for (int y = vp_y; y < h; ++y) {
-    uint8_t* row = img + y * w * 3;
+  // Grass: constant — build the first row, memcpy the rest.
+  if (vp_y < h) {
+    uint8_t* first = img + static_cast<size_t>(vp_y) * w * 3;
     for (int x = 0; x < w; ++x) {
-      row[x * 3 + 0] = 40; row[x * 3 + 1] = 110; row[x * 3 + 2] = 50;
+      first[x * 3 + 0] = 40; first[x * 3 + 1] = 110; first[x * 3 + 2] = 50;
     }
+    for (int y = vp_y + 1; y < h; ++y)
+      std::memcpy(img + static_cast<size_t>(y) * w * 3, first,
+                  static_cast<size_t>(w) * 3);
   }
-  // Road trapezoid: for each row below the horizon interpolate edges.
+  // Road trapezoid: per-row segment fill.
   for (int y = vp_y; y < h; ++y) {
     double t = static_cast<double>(y - vp_y) / (h - vp_y);
     int lx = static_cast<int>(vp_x - 8 + t * ((left_x - 30) - (vp_x - 8)));
     int rx = static_cast<int>(vp_x + 8 + t * ((right_x + 30) - (vp_x + 8)));
-    uint8_t* row = img + y * w * 3;
+    uint8_t* row = img + static_cast<size_t>(y) * w * 3;
     for (int x = std::max(0, lx); x < std::min(w, rx); ++x) {
       row[x * 3 + 0] = 60; row[x * 3 + 1] = 60; row[x * 3 + 2] = 60;
     }
@@ -109,7 +126,22 @@ void synth_frame(uint8_t* img, int w, int h, int64_t frame_idx) {
   // Lane edge lines.
   draw_line(img, w, h, left_x, h - 1, vp_x, vp_y, 5, 240, 240, 240);
   draw_line(img, w, h, right_x, h - 1, vp_x, vp_y, 5, 240, 240, 240);
+}
 
+struct Background {
+  std::vector<uint8_t> pixels;
+  std::once_flag once;
+};
+
+void synth_frame(uint8_t* img, int w, int h, int64_t frame_idx, Background* bg) {
+  std::call_once(bg->once, [&] {
+    bg->pixels.resize(static_cast<size_t>(w) * h * 3);
+    build_background(bg->pixels.data(), w, h);
+  });
+  std::memcpy(img, bg->pixels.data(), bg->pixels.size());
+
+  const int vp_x = static_cast<int>(w * 0.5);
+  const int vp_y = static_cast<int>(h * 0.45);
   // A drifting vehicle so frames are not static.
   double tt = frame_idx * 0.05;
   int depth_px = static_cast<int>(h - (0.45 + 0.2 * std::sin(tt)) * (h - vp_y));
@@ -117,66 +149,47 @@ void synth_frame(uint8_t* img, int w, int h, int64_t frame_idx) {
   int bw = 70, bh = 50;
   for (int y = std::max(0, depth_px - bh); y < std::min(h, depth_px); ++y) {
     for (int x = std::max(0, cx - bw / 2); x < std::min(w, cx + bw / 2); ++x) {
-      uint8_t* p = img + (y * w + x) * 3;
+      uint8_t* p = img + (static_cast<size_t>(y) * w + x) * 3;
       p[0] = 30; p[1] = 30; p[2] = 160;
     }
   }
 }
 
-void producer_synthetic(FrameRing* ring, int64_t num_frames) {
-  for (int64_t i = 0; i < num_frames; ++i) {
-    std::unique_lock<std::mutex> lk(ring->mu);
-    ring->not_full.wait(lk, [&] { return ring->tail - ring->head < ring->slots || ring->done; });
-    if (ring->done) return;
-    int64_t slot = ring->tail;
-    lk.unlock();
+// Claim frame indices and fill slots until the stream is exhausted.
+// fill(frame_idx, dst) -> false on producer-side failure (truncated file).
+template <typename Fill>
+void producer_loop(FrameRing* ring, int64_t num_frames, Fill fill) {
+  for (;;) {
+    int64_t i = ring->next_claim.fetch_add(1);
+    if (i >= num_frames || ring->stop.load(std::memory_order_acquire)) break;
 
-    synth_frame(ring->slot_ptr(slot), ring->width, ring->height, i);
+    // Wait for ring-depth credit: slot i % slots is free once the consumer
+    // has drained frame i - slots.
+    {
+      std::unique_lock<std::mutex> lk(ring->mu);
+      ring->not_full.wait(lk, [&] {
+        return i - ring->consumed.load(std::memory_order_acquire) < ring->slots ||
+               ring->stop.load(std::memory_order_acquire);
+      });
+      if (ring->stop.load(std::memory_order_acquire)) break;
+    }
 
-    lk.lock();
-    ring->slot_index[slot % ring->slots] = i;
-    ring->tail++;
-    ring->produced.fetch_add(1);
-    ring->not_empty.notify_one();
-  }
-  std::lock_guard<std::mutex> lk(ring->mu);
-  ring->done = true;
-  ring->not_empty.notify_all();
-}
-
-void producer_rawfile(FrameRing* ring, std::string path, int64_t num_frames) {
-  FILE* f = std::fopen(path.c_str(), "rb");
-  if (!f) {
-    std::lock_guard<std::mutex> lk(ring->mu);
-    ring->done = true;
-    ring->not_empty.notify_all();
-    return;
-  }
-  for (int64_t i = 0; i < num_frames; ++i) {
-    std::unique_lock<std::mutex> lk(ring->mu);
-    ring->not_full.wait(lk, [&] { return ring->tail - ring->head < ring->slots || ring->done; });
-    if (ring->done) break;
-    int64_t slot = ring->tail;
-    lk.unlock();
-
-    size_t got = std::fread(ring->slot_ptr(slot), 1, ring->frame_bytes, f);
-    bool ok = got == ring->frame_bytes;
-
-    lk.lock();
-    if (!ok) {
-      ring->done = true;
+    if (!fill(i, ring->slot_ptr(i))) {
+      // Truncated stream: everything before i may still drain.
+      int64_t cur = ring->total.load();
+      while ((cur < 0 || i < cur) &&
+             !ring->total.compare_exchange_weak(cur, i)) {
+      }
+      std::lock_guard<std::mutex> lk(ring->mu);
       ring->not_empty.notify_all();
       break;
     }
-    ring->slot_index[slot % ring->slots] = i;
-    ring->tail++;
+
+    ring->ready[i % ring->slots].store(i, std::memory_order_release);
     ring->produced.fetch_add(1);
-    ring->not_empty.notify_one();
+    std::lock_guard<std::mutex> lk(ring->mu);
+    ring->not_empty.notify_all();
   }
-  std::fclose(f);
-  std::lock_guard<std::mutex> lk(ring->mu);
-  ring->done = true;
-  ring->not_empty.notify_all();
 }
 
 }  // namespace
@@ -190,34 +203,79 @@ FrameRing* ring_create(int width, int height, int slots) {
   ring->slots = slots;
   ring->frame_bytes = static_cast<size_t>(width) * height * 3;
   ring->storage.resize(ring->frame_bytes * slots);
-  ring->slot_index.assign(slots, -1);
+  ring->ready = std::vector<std::atomic<int64_t>>(slots);
+  for (auto& r : ring->ready) r.store(-1);
   return ring;
 }
 
-void ring_start_synthetic(FrameRing* ring, int64_t num_frames) {
-  ring->producer = std::thread(producer_synthetic, ring, num_frames);
+static int resolve_threads(int threads) {
+  if (threads > 0) return threads;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n = static_cast<int>(hw ? hw / 2 : 4);
+  return n < 1 ? 1 : (n > 8 ? 8 : n);
 }
 
-void ring_start_rawfile(FrameRing* ring, const char* path, int64_t num_frames) {
-  ring->producer = std::thread(producer_rawfile, ring, std::string(path), num_frames);
+// threads <= 0 selects an automatic count (half the cores, capped at 8).
+void ring_start_synthetic(FrameRing* ring, int64_t num_frames, int threads) {
+  ring->total.store(num_frames);
+  auto* bg = new Background();
+  ring->background = bg;  // freed in ring_destroy after producers join
+  int n = resolve_threads(threads);
+  for (int t = 0; t < n; ++t) {
+    ring->producers.emplace_back([ring, num_frames, bg] {
+      producer_loop(ring, num_frames, [ring, bg](int64_t i, uint8_t* dst) {
+        synth_frame(dst, ring->width, ring->height, i, bg);
+        return true;
+      });
+    });
+  }
+}
+
+// Raw packed BGR frames: every producer opens its own descriptor and
+// preads at i * frame_bytes — no shared file position, no serialization.
+void ring_start_rawfile(FrameRing* ring, const char* path, int64_t num_frames,
+                        int threads) {
+  ring->total.store(num_frames);
+  std::string p(path);
+  int n = resolve_threads(threads);
+  for (int t = 0; t < n; ++t) {
+    ring->producers.emplace_back([ring, p, num_frames] {
+      FILE* f = std::fopen(p.c_str(), "rb");
+      producer_loop(ring, num_frames, [ring, f](int64_t i, uint8_t* dst) {
+        if (!f) return false;
+        if (std::fseek(f, static_cast<long>(i * ring->frame_bytes), SEEK_SET))
+          return false;
+        return std::fread(dst, 1, ring->frame_bytes, f) == ring->frame_bytes;
+      });
+      if (f) std::fclose(f);
+    });
+  }
 }
 
 // Copy the next frame into out (H*W*3 bytes).  Returns the frame index, or
 // -1 when the stream is exhausted, or -2 on timeout.
 int64_t ring_next(FrameRing* ring, uint8_t* out, int timeout_ms) {
+  int64_t want = ring->consumed.load(std::memory_order_acquire);
   std::unique_lock<std::mutex> lk(ring->mu);
   bool ok = ring->not_empty.wait_for(
-      lk, std::chrono::milliseconds(timeout_ms),
-      [&] { return ring->head < ring->tail || ring->done; });
+      lk, std::chrono::milliseconds(timeout_ms), [&] {
+        int64_t total = ring->total.load(std::memory_order_acquire);
+        if (total >= 0 && want >= total) return true;  // exhausted
+        return ring->ready[want % ring->slots].load(std::memory_order_acquire) ==
+               want;
+      });
   if (!ok) return -2;
-  if (ring->head >= ring->tail && ring->done) return -1;
-  int64_t slot = ring->head;
-  int64_t idx = ring->slot_index[slot % ring->slots];
-  std::memcpy(out, ring->slot_ptr(slot), ring->frame_bytes);
-  ring->head++;
-  ring->consumed.fetch_add(1);
-  ring->not_full.notify_one();
-  return idx;
+  int64_t total = ring->total.load(std::memory_order_acquire);
+  if (total >= 0 && want >= total) return -1;
+  lk.unlock();
+
+  std::memcpy(out, ring->slot_ptr(want), ring->frame_bytes);
+  ring->consumed.store(want + 1, std::memory_order_release);
+  {
+    std::lock_guard<std::mutex> lk2(ring->mu);
+    ring->not_full.notify_all();
+  }
+  return want;
 }
 
 // Drain up to n frames into a contiguous buffer; returns count copied.
@@ -233,13 +291,15 @@ int64_t ring_produced(FrameRing* ring) { return ring->produced.load(); }
 int64_t ring_consumed(FrameRing* ring) { return ring->consumed.load(); }
 
 void ring_destroy(FrameRing* ring) {
+  ring->stop.store(true, std::memory_order_release);
   {
     std::lock_guard<std::mutex> lk(ring->mu);
-    ring->done = true;
     ring->not_empty.notify_all();
     ring->not_full.notify_all();
   }
-  if (ring->producer.joinable()) ring->producer.join();
+  for (auto& p : ring->producers)
+    if (p.joinable()) p.join();
+  delete static_cast<Background*>(ring->background);
   delete ring;
 }
 

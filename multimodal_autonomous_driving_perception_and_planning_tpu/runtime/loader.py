@@ -39,8 +39,13 @@ def _load():
     lib = ctypes.CDLL(str(_LIB))
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
-    lib.ring_start_synthetic.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-    lib.ring_start_rawfile.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.ring_start_synthetic.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.ring_start_rawfile.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
     lib.ring_next.restype = ctypes.c_int64
     lib.ring_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.ring_next_batch.restype = ctypes.c_int64
@@ -74,7 +79,12 @@ class NativeFrameSource:
         slots: int = 16,
         num_frames: int = 300,
         raw_path: Optional[str] = None,
+        threads: int = 0,
     ):
+        """``threads`` producer threads fill disjoint ring slots
+        (0 = automatic: half the cores, capped at 8).  Producers claim
+        frame indices atomically, so output order is exact regardless of
+        thread count."""
         self.width = width
         self.height = height
         self.num_frames = num_frames
@@ -82,10 +92,10 @@ class NativeFrameSource:
         self._ring = self._lib.ring_create(width, height, slots)
         if raw_path is not None:
             self._lib.ring_start_rawfile(
-                self._ring, str(raw_path).encode(), num_frames
+                self._ring, str(raw_path).encode(), num_frames, threads
             )
         else:
-            self._lib.ring_start_synthetic(self._ring, num_frames)
+            self._lib.ring_start_synthetic(self._ring, num_frames, threads)
 
     def next_frame(self, timeout_ms: int = 5000) -> Optional[np.ndarray]:
         out = np.empty((self.height, self.width, 3), np.uint8)

@@ -57,6 +57,7 @@ def run_stream(
     chunk: int = 64,
     dt: float = 1.0 / 30.0,
     collect_host: bool = True,
+    runner=None,
 ):
     """Drive the fused pipeline from a NativeFrameSource with overlap.
 
@@ -65,9 +66,12 @@ def run_stream(
     ``stats`` reports wall time, device-only time, and the overlap ratio.
 
     Every chunk has the same shape (the last one is padded), so exactly one
-    XLA program is compiled and reused.
+    XLA program is compiled and reused.  Pass a prebuilt ``runner`` (from
+    `make_sequence_runner(cfg, donate=False)`) to amortize the jit build
+    across calls — long-running consumers should always do this.
     """
-    runner = make_sequence_runner(cfg, donate=False)
+    if runner is None:
+        runner = make_sequence_runner(cfg, donate=False)
     state = initial_state(cfg)
 
     t_wall0 = time.perf_counter()
@@ -109,7 +113,11 @@ def run_stream(
             jax.tree_util.tree_map(lambda x: np.asarray(x)[:prev_n], prev_outs)
         )
     elif pending is not None:
-        jax.block_until_ready(jax.tree_util.tree_leaves(pending[0])[0])
+        # A host readback, not block_until_ready: on tunnel-attached
+        # runtimes block_until_ready can resolve before the dispatched
+        # chain finishes, while np.asarray must return correct bytes and
+        # therefore really waits (benchmarks/suite.py methodology).
+        np.asarray(jax.tree_util.tree_leaves(pending[0])[0])
 
     wall = time.perf_counter() - t_wall0
     stats = {
