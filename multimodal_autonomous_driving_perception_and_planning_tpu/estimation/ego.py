@@ -100,13 +100,25 @@ def estimator_step(
     measurement: jnp.ndarray,
     has_measurement,
     cfg: EstimatorConfig,
+    backend: str = None,
 ) -> Tuple[KalmanState, VehicleState]:
     """predict + optional update, replicating vehicle_state.py:139-156.
+
+    On TPU the whole step dispatches (at trace time) to one fused Pallas
+    kernel (`ops.kalman_pallas`) — ~30 tiny 6x6 XLA ops collapse into a
+    single Mosaic program; the parity budget is unchanged (PARITY.md).
+    ``backend`` overrides the `jax.default_backend()` probe.
 
     Args:
       measurement: (4,) [x, y, vx, vy]; ignored when ``has_measurement`` is
         False (the reference's measurement-skip branch).
     """
+    import jax
+
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        return _estimator_step_fused(ks, model, measurement, has_measurement, cfg)
     # predict() — advances time, extracts state for its prev_* side effects.
     x, P = kalman_predict(model, ks.x, ks.P)
     time = ks.time + cfg.dt
@@ -124,5 +136,51 @@ def estimator_step(
     )
     new_ks = KalmanState(
         x=x, P=P, time=time, prev_heading=prev_heading, prev_speed=prev_speed
+    )
+    return new_ks, state
+
+
+_FUSED_CACHE: dict = {}
+
+
+def _estimator_step_fused(
+    ks: KalmanState,
+    model: KalmanModel,
+    measurement: jnp.ndarray,
+    has_measurement,
+    cfg: EstimatorConfig,
+    interpret: bool = False,
+) -> Tuple[KalmanState, VehicleState]:
+    """estimator_step via the single Pallas kernel (ops.kalman_pallas)."""
+    from ..ops.kalman_pallas import make_fused_estimator_step
+
+    key = (id(model), cfg.dt, cfg.speed_heading_hold, interpret)
+    if key not in _FUSED_CACHE:
+        _FUSED_CACHE[key] = make_fused_estimator_step(
+            model, cfg.dt, cfg.speed_heading_hold, interpret=interpret
+        )
+    x2, P2, s = _FUSED_CACHE[key](
+        ks.x, ks.P, measurement, ks.time, ks.prev_heading, ks.prev_speed,
+        has_measurement,
+    )
+    # Heading/yaw outside the kernel (Mosaic TC lowers no atan2): the
+    # exact extract_state math over the kernel's velocity outputs.
+    speed_p, speed = s[1], s[2]
+    hold = cfg.speed_heading_hold
+    heading_p = jnp.where(
+        speed_p > hold, jnp.arctan2(s[8], s[7]), ks.prev_heading
+    )
+    heading = jnp.where(speed > hold, jnp.arctan2(s[6], s[5]), heading_p)
+    hdiff = heading - heading_p
+    hdiff = jnp.where(hdiff > jnp.pi, hdiff - 2 * jnp.pi, hdiff)
+    hdiff = jnp.where(hdiff < -jnp.pi, hdiff + 2 * jnp.pi, hdiff)
+    yaw = hdiff / cfg.dt if cfg.dt > 0 else jnp.zeros_like(hdiff)
+    state = VehicleState(
+        x=s[3], y=s[4], vx=s[5], vy=s[6], heading=heading, speed=speed,
+        acceleration=s[9], yaw_rate=yaw, timestamp=s[0],
+        pos_uncertainty=s[10], vel_uncertainty=s[11],
+    )
+    new_ks = KalmanState(
+        x=x2, P=P2, time=s[0], prev_heading=heading, prev_speed=speed
     )
     return new_ks, state
