@@ -40,7 +40,14 @@ def main():
     _c = _P.home() / ".cache" / "madpp_jax"
     _c.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(_c))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # Threshold must be 0 on this runtime: the tunnel backend compiles
+    # asynchronously server-side, so the client-observed compile time is
+    # ~1 s even for the 300-frame scan (the real 1-4 min wait happens at
+    # first execution) — any positive threshold skips exactly the
+    # programs worth caching.  A hit cuts the compile stage from
+    # 160-240 s to ~1 s; what remains is the server-side program load at
+    # first execution (~35-75 s/process).  benchmarks/ANALYSIS.md §5.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     sys.path.insert(0, str(_P(__file__).resolve().parent / "benchmarks"))
     from suite import _pipeline_inputs, _scan_bench_fn, _time_digest

@@ -44,7 +44,10 @@ def _setup_cache():
     cache = Path.home() / ".cache" / "madpp_jax"
     cache.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # 0: the tunnel backend compiles async server-side (client sees ~1 s
+    # for every program), so any positive threshold rejects all the big
+    # scan executables.  Cache hits cut their cold start to seconds.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def _time_digest(fn, *args, repeats=10):

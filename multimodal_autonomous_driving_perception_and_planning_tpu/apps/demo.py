@@ -62,7 +62,11 @@ def _enable_persistent_compile_cache():
     cache = Path.home() / ".cache" / "madpp_jax"
     cache.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # 0, not a positive threshold: the tunnel backend compiles async
+    # server-side, so client-observed compile is ~1 s even for the big
+    # scan programs — a threshold would skip exactly the entries that
+    # cut cold start from minutes to seconds (see bench.py).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def run_demo(
