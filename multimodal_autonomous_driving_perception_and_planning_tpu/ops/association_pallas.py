@@ -36,7 +36,7 @@ def _associate_kernel(iou_ref, rank_ref, thr_ref, match_ref):
     det_idx = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
     key = rank_ref[:] * D + det_idx  # (T, D); rank_ref is (T, 1) int32
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    thr = thr_ref[0]
+    thr = thr_ref[0, 0]
 
     # Mosaic cannot carry i1 vectors through scf.while — the live mask is
     # carried as int32 (1/0) and the progress flag as an int32 scalar.
@@ -97,7 +97,13 @@ def greedy_associate_pallas(
     contract; see that docstring).  `interpret=True` runs the kernel in
     the Pallas interpreter (for CPU tests)."""
     T, D = iou.shape
-    thr = jnp.full((1,), iou_threshold, jnp.float32)
+    # (1, 1), not (1,): under `jax.vmap` (the multicamera runner) Pallas
+    # auto-batches every operand by prepending a grid axis with block
+    # shape (1, *dims); a 1-D operand's batched block (1, n) then fails
+    # Mosaic's "last two dims divisible by (8, 128) or equal to the array
+    # dims" check against the (B, n) array.  With a 2-D scalar channel the
+    # batched block (1, 1, n) keeps trailing dims equal to the array's.
+    thr = jnp.full((1, 1), iou_threshold, jnp.float32)
     match = pl.pallas_call(
         _associate_kernel,
         out_shape=jax.ShapeDtypeStruct((T, 1), jnp.int32),

@@ -14,8 +14,10 @@ prev_speed side-effect quirk.  Bit-compatibility with the XLA path is
 asserted by tests (interpret mode) and was verified on TPU against the
 parity budget (PARITY.md).
 
-Layout: the scalar carry/state channel travels as a flat (16,) f32
-vector (see _SCAL indices); matrices stay (6, 6).
+Layout: the scalar carry/state channels travel as 2-D f32 rows —
+(1, 4) in, (1, 12) out — so `jax.vmap` (the multicamera runner) can
+auto-batch the call (see the block-shape note in `step`); matrices stay
+(6, 6).
 """
 
 from __future__ import annotations
@@ -46,8 +48,8 @@ def _make_kernel(model, dt: float):
         x0 = x_ref[:]  # (6, 1)
         P0 = P_ref[:]  # (6, 6)
         z = z_ref[:]  # (4, 1)
-        time0 = s_ref[0]
-        has_meas = s_ref[3] > 0.0
+        time0 = s_ref[0, 0]
+        has_meas = s_ref[0, 3] > 0.0
 
         Fc = F_ref[:]
         Qc = Q_ref[:]
@@ -129,18 +131,18 @@ def _make_kernel(model, dt: float):
 
         x_out[:] = x2
         P_out[:] = P2
-        s_out[0] = time1
-        s_out[1] = speed_p
-        s_out[2] = speed
-        s_out[3] = px
-        s_out[4] = py
-        s_out[5] = vx2
-        s_out[6] = vy2
-        s_out[7] = vx1
-        s_out[8] = vy1
-        s_out[9] = accel
-        s_out[10] = pos_unc
-        s_out[11] = vel_unc
+        s_out[0, 0] = time1
+        s_out[0, 1] = speed_p
+        s_out[0, 2] = speed
+        s_out[0, 3] = px
+        s_out[0, 4] = py
+        s_out[0, 5] = vx2
+        s_out[0, 6] = vy2
+        s_out[0, 7] = vx1
+        s_out[0, 8] = vy1
+        s_out[0, 9] = accel
+        s_out[0, 10] = pos_unc
+        s_out[0, 11] = vel_unc
 
     return kernel
 
@@ -156,6 +158,12 @@ def make_fused_estimator_step(model, dt: float, hold: float,
     R_np = np.asarray(model.R, np.float32)
 
     def step(x, P, z, time, prev_heading, prev_speed, has_meas):
+        # Scalar channels travel as (1, K) 2-D rows, not (K,) vectors:
+        # under `jax.vmap` (the multicamera runner) Pallas auto-batches
+        # each operand with block shape (1, *dims), and a 1-D operand's
+        # batched (B, K) array fails Mosaic's last-two-dims block check;
+        # with 2-D rows the batched block keeps trailing dims equal to
+        # the array's (tests/test_kalman_pallas.py::test_vmap_batches).
         scal_in = jnp.stack(
             [
                 jnp.asarray(time, jnp.float32),
@@ -163,13 +171,13 @@ def make_fused_estimator_step(model, dt: float, hold: float,
                 jnp.asarray(prev_speed, jnp.float32),
                 jnp.asarray(has_meas, jnp.float32),
             ]
-        )
+        )[None, :]
         x2, P2, scal = pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((6, 1), jnp.float32),
                 jax.ShapeDtypeStruct((6, 6), jnp.float32),
-                jax.ShapeDtypeStruct((_N_OUT,), jnp.float32),
+                jax.ShapeDtypeStruct((1, _N_OUT), jnp.float32),
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -195,6 +203,6 @@ def make_fused_estimator_step(model, dt: float, hold: float,
             jnp.asarray(Q_np),
             jnp.asarray(R_np),
         )
-        return x2[:, 0], P2, scal
+        return x2[:, 0], P2, scal[0]
 
     return step

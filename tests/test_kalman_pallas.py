@@ -99,3 +99,47 @@ def test_fused_step_inside_jitted_scan():
     np.testing.assert_allclose(
         np.asarray(speeds), np.asarray(speeds_x), atol=1e-5
     )
+
+
+def test_vmap_batches():
+    """The fused step must stay vmappable — the multicamera runner vmaps
+    the whole pipeline step over cameras, and Pallas auto-batching only
+    lowers on TPU if every operand's trailing dims survive the Mosaic
+    block check (ops/kalman_pallas.py scalar channels are 2-D rows for
+    exactly this reason; regression for the (B, 4) SMEM lowering error).
+    Interpret mode checks values; the TPU lowering itself is exercised by
+    benchmarks/suite.py::bench_multicamera."""
+    cfg = DEFAULT_CONFIG.estimator
+    model = make_constant_accel_model(
+        cfg.dt, cfg.process_noise, cfg.measurement_noise, cfg.accel_noise_scale
+    )
+    B = 5
+    rng = np.random.default_rng(7)
+    ks = KalmanState(
+        x=jnp.asarray(rng.normal(size=(B, 6)), jnp.float32),
+        P=jnp.asarray(
+            np.tile(np.eye(6, dtype=np.float32) * 0.7, (B, 1, 1))
+        ),
+        time=jnp.zeros((B,), jnp.float32),
+        prev_heading=jnp.zeros((B,), jnp.float32),
+        prev_speed=jnp.zeros((B,), jnp.float32),
+    )
+    zs = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+
+    def one(ks, z):
+        return _estimator_step_fused(
+            ks, model, z, jnp.asarray(True), cfg, interpret=True
+        )
+
+    ks_b, vs_b = jax.jit(jax.vmap(one))(ks, zs)
+    for i in range(B):
+        ks_i = jax.tree_util.tree_map(lambda a: a[i], ks)
+        ks_one, vs_one = one(ks_i, zs[i])
+        np.testing.assert_allclose(
+            np.asarray(ks_b.x[i]), np.asarray(ks_one.x), rtol=1e-6, atol=1e-6
+        )
+        for k in _FIELDS:
+            np.testing.assert_allclose(
+                float(getattr(vs_b, k)[i]), float(getattr(vs_one, k)),
+                rtol=1e-6, atol=1e-6,
+            )
