@@ -286,6 +286,13 @@ def main(argv=None):
     parser.add_argument("--max-sessions", type=int, default=64)
     args = parser.parse_args(argv)
 
+    # Same persistent compile cache as bench/demo: the export's
+    # trace+compile at startup loads from cache on all but the first-ever
+    # launch (threshold rationale in apps/demo.py).
+    from .demo import _enable_persistent_compile_cache
+
+    _enable_persistent_compile_cache()
+
     from .. import DEFAULT_CONFIG
 
     cfg = DEFAULT_CONFIG.replace(
