@@ -89,7 +89,19 @@ def _ring_gather(ring: jnp.ndarray, count: jnp.ndarray, n_last: int) -> jnp.ndar
 # ---------------------------------------------------------------------------
 
 
-def make_tagging_step(cfg: PipelineConfig):
+def make_tagging_step(cfg: PipelineConfig, backend: str = None,
+                      interpret: bool = False):
+    """Build the per-frame tagging step.
+
+    On TPU in detections mode (no ``lane_obs``/``frame_feats``) the whole
+    stage dispatches to one fused Pallas kernel
+    (`ops.tagging_pallas` — the XLA formulation below is ~200 tiny VPU
+    ops costing ~45 us/frame of issue latency, ANALYSIS.md §3d); the XLA
+    path remains for CPU, for frames mode, and as the equivalence oracle
+    (tests/test_tagging_pallas.py).  ``backend`` overrides the
+    `jax.default_backend()` probe; ``interpret`` runs the kernel through
+    the Pallas interpreter (CPU tests).
+    """
     tg = cfg.tagging
     h, w = cfg.frame_height, cfg.frame_width
     t_cap = cfg.tracker.max_tracks
@@ -627,4 +639,113 @@ def make_tagging_step(cfg: PipelineConfig):
         }
         return new_state, tags
 
-    return tagging_step
+    # ---------------- fused-kernel dispatch (TPU, detections mode) -----
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu" and not interpret:
+        return tagging_step
+
+    from ..ops.tagging_pallas import SF, SI, make_fused_tagging_step
+
+    fused = make_fused_tagging_step(cfg, interpret=interpret)
+    sf_i = {k: i for i, k in enumerate(SF)}
+    si_i = {k: i for i, k in enumerate(SI)}
+
+    def tagging_step_pallas(
+        state: TaggingState,
+        dets: Detections,
+        table: TrackTable,
+        confirmed,
+        n_confirmed,
+        vstate: VehicleState,
+        lane_obs: LaneObservation,
+        frame_feats: Dict,
+    ):
+        if lane_obs is not None or frame_feats is not None:
+            # Frames mode: the image-feature branches stay on the XLA
+            # formulation (its cost is small next to the image stack).
+            return tagging_step(
+                state, dets, table, confirmed, n_confirmed, vstate,
+                lane_obs, frame_feats,
+            )
+        (votes, mhist, icent, ilen, sf, si, present, tconf,
+         itype, iconf, irisk, dist, rel, ttc, httc) = fused(
+            state.scene_votes, state.scene_count,
+            state.man_history, state.man_count,
+            state.int_centers, state.int_len, state.int_track_id,
+            dets.bbox, dets.class_id, dets.confidence, dets.valid,
+            table.bbox, table.class_id, table.track_id, table.hits,
+            table.velocity, table.vel_count,
+            vstate.speed, vstate.heading, vstate.acceleration,
+            vstate.yaw_rate, vstate.x, vstate.y,
+        )
+        frame_count = state.frame_count + 1
+        new_state = TaggingState(
+            scene_votes=votes[0],
+            scene_count=state.scene_count + 1,
+            man_history=mhist,
+            man_count=state.man_count + 1,
+            int_centers=icent,
+            int_len=ilen[:, 0],
+            int_track_id=table.track_id,
+            frame_count=frame_count,
+        )
+        sfv, siv = sf[0], si[0]
+
+        def fx(k):
+            return sfv[sf_i[k]]
+
+        def ix(k):
+            return siv[si_i[k]]
+
+        def bx(k):
+            return ix(k).astype(bool)
+
+        tags = {
+            "timestamp": (frame_count - 1).astype(jnp.float32) / fps,
+            "road_type": ix("road_type"),
+            "road_type_raw": ix("road_type_raw"),
+            "road_type_confidence": fx("road_type_confidence"),
+            "has_traffic_light": bx("has_traffic_light"),
+            "traffic_light_confidence": fx("traffic_light_confidence"),
+            "has_stop_sign": bx("has_stop_sign"),
+            "stop_sign_confidence": fx("stop_sign_confidence"),
+            "has_pedestrian_area": bx("has_pedestrian_area"),
+            "cond_night": bx("cond_night"),
+            "cond_day": bx("cond_day"),
+            "cond_day_confidence": fx("cond_day_confidence"),
+            "cond_congested": bx("cond_congested"),
+            "cond_clear": bx("cond_clear"),
+            "cond_fog": bx("cond_fog"),
+            "lane_count": ix("lane_count"),
+            "lateral": ix("lateral"),
+            "lateral_confidence": fx("lateral_confidence"),
+            "longitudinal": ix("longitudinal"),
+            "longitudinal_confidence": fx("longitudinal_confidence"),
+            "turning": ix("turning"),
+            "turning_confidence": fx("turning_confidence"),
+            "speed_kmh": fx("speed_kmh"),
+            "acceleration": fx("acceleration"),
+            "yaw_rate_deg": fx("yaw_rate_deg"),
+            "interaction_present": present[0].astype(bool),
+            "interaction_confidence": tconf[0],
+            "primary_interaction": ix("primary_interaction"),
+            "overall_risk": ix("overall_risk"),
+            "agent_count": ix("agent_count"),
+            "pedestrian_count": ix("pedestrian_count"),
+            "cyclist_count": ix("cyclist_count"),
+            "vehicle_count": ix("vehicle_count"),
+            "closest_agent_distance": fx("closest_agent_distance"),
+            "min_ttc": fx("min_ttc"),
+            "has_min_ttc": bx("has_min_ttc"),
+            "track_interaction_type": itype[:, 0],
+            "track_interaction_confidence": iconf[:, 0],
+            "track_interaction_risk": irisk[:, 0],
+            "track_distance": dist[:, 0],
+            "track_relative_speed": rel[:, 0],
+            "track_ttc": ttc[:, 0],
+            "track_has_ttc": httc[:, 0].astype(bool),
+        }
+        return new_state, tags
+
+    return tagging_step_pallas
