@@ -10,12 +10,13 @@ pure issue latency of separately scheduled small ops, the same pathology
 the fused ego kernel (`ops/kalman_pallas.py`) removed at a third of this
 size.  This kernel runs the whole stage as one Mosaic program.
 
-Scope: detections mode only (``lane_obs is None`` and ``frame_feats is
-None`` — the reference's AutoTagger path when no frame image features
-are computed).  Frames mode keeps the XLA formulation, whose cost is
-small relative to the image stack.  `tagging.rules.make_tagging_step`
-dispatches: TPU + detections mode -> this kernel, everything else ->
-XLA.
+Both pipeline modes are covered by a static ``frames_mode`` switch:
+detections mode bakes the reference's frame-feature defaults, frames
+mode consumes the lane-fit and scene-feature rows (only the scene
+classifier differs — the maneuver detector's lane-offset branch is the
+reference's hardcoded-0.0 stub and is identically False in both modes).
+`tagging.rules.make_tagging_step` dispatches: TPU -> this kernel,
+CPU -> the XLA formulation (also the equivalence oracle).
 
 Semantics are op-for-op `tagging/rules.py` (reference behavior cited
 there), with two deliberate mechanical differences that cannot change
@@ -105,7 +106,7 @@ def _scene_weights() -> np.ndarray:
     )
 
 
-def _make_kernel(cfg: PipelineConfig):
+def _make_kernel(cfg: PipelineConfig, frames_mode: bool):
     tg = cfg.tagging
     W = tg.scene_smoothing_window
     H = tg.maneuver_history
@@ -128,6 +129,13 @@ def _make_kernel(cfg: PipelineConfig):
         crow_ref,
         # scene score table (7, 6) f32 (Pallas forbids array captures)
         wts_ref,
+        # lane row (1, 8) f32: l_fit a,b,c, r_fit a,b,c, left_found,
+        # right_found — zeros in detections mode
+        lrow_ref,
+        # frame-features row (1, 6) f32: center_edge_density,
+        # num_long_lines, avg_line_length, green_ratio, brightness,
+        # laplacian_var — zeros in detections mode
+        frow_ref,
         # tagging state
         votes_ref, mhist_ref, icent_ref, ilen_ref, iprev_ref,
         # outputs
@@ -159,21 +167,44 @@ def _make_kernel(cfg: PipelineConfig):
         vehicle_count_d = dhist[0, _CAR] + dhist[0, _TRUCK] + dhist[0, _BUS]
         ped_count_d = dhist[0, _PED]
 
-        # Detections-mode frame-feature defaults (rules.py else-branch).
-        brightness = f32(128.0)
-        # center_density 0.0 -> cond False; many_long False; green False;
-        # lap_var 1000 -> fog False; both_lanes False.
-        conds = jnp.stack(
-            [
-                f32(0.0),  # center density > 0.15
-                f32(0.0),  # many long lines
-                (any_dets & (traffic_count > 0)).astype(f32),
-                (any_dets & (vehicle_count_d > 3)).astype(f32),
-                (any_dets & (vehicle_count_d <= 1)).astype(f32),
-                f32(0.0),  # green
-                f32(0.0),  # both lanes
-            ]
-        ).reshape(7, 1)
+        if frames_mode:
+            center_density = frow_ref[0, 0]
+            many_long = (frow_ref[0, 1] > 5.0) & (frow_ref[0, 2] > 150.0)
+            green = frow_ref[0, 3] > 0.15
+            brightness = frow_ref[0, 4]
+            lap_var = frow_ref[0, 5]
+            left_found = lrow_ref[0, 6] > 0.0
+            right_found = lrow_ref[0, 7] > 0.0
+            both_lanes = left_found & right_found
+            conds = jnp.stack(
+                [
+                    (center_density > 0.15).astype(f32),
+                    many_long.astype(f32),
+                    (any_dets & (traffic_count > 0)).astype(f32),
+                    (any_dets & (vehicle_count_d > 3)).astype(f32),
+                    (any_dets & (vehicle_count_d <= 1)).astype(f32),
+                    green.astype(f32),
+                    both_lanes.astype(f32),
+                ]
+            ).reshape(7, 1)
+        else:
+            # Detections-mode frame-feature defaults (rules.py else-branch):
+            # center_density 0 -> False; many_long False; green False;
+            # lap_var 1000 -> fog False; both_lanes False.
+            brightness = f32(128.0)
+            lap_var = f32(1000.0)
+            both_lanes = jnp.asarray(False)
+            conds = jnp.stack(
+                [
+                    f32(0.0),  # center density > 0.15
+                    f32(0.0),  # many long lines
+                    (any_dets & (traffic_count > 0)).astype(f32),
+                    (any_dets & (vehicle_count_d > 3)).astype(f32),
+                    (any_dets & (vehicle_count_d <= 1)).astype(f32),
+                    f32(0.0),  # green
+                    f32(0.0),  # both lanes
+                ]
+            ).reshape(7, 1)
         scores = jnp.sum(conds * wts_ref[:], axis=0, keepdims=True)  # (1, 6)
         total = jnp.sum(scores) + 0.001
         norm = scores / total  # (1, 6)
@@ -214,6 +245,22 @@ def _make_kernel(cfg: PipelineConfig):
         night = brightness < 60
         congested = speed < 2.0
         clear = speed > 15.0
+        fog = lap_var < 100.0
+
+        if frames_mode:
+            # Lane count from the fits at the frame bottom (rules.py
+            # intent-level divergence note).
+            yb = f32(h)
+            lb = lrow_ref[0, 0] * yb * yb + lrow_ref[0, 1] * yb + lrow_ref[0, 2]
+            rb = lrow_ref[0, 3] * yb * yb + lrow_ref[0, 4] * yb + lrow_ref[0, 5]
+            width_px = jnp.abs(rb - lb)
+            lane_count = jnp.where(
+                both_lanes,
+                jnp.where(width_px > 200, 3, jnp.where(width_px > 100, 2, 1)),
+                2,
+            ).astype(jnp.int32)
+        else:
+            lane_count = jnp.int32(2)
 
         # last-matching-detection confidences.
         posD = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
@@ -488,7 +535,7 @@ def _make_kernel(cfg: PipelineConfig):
 
         si_out[0, 0] = smoothed
         si_out[0, 1] = road_type
-        si_out[0, 2] = jnp.int32(2)  # lane_count (detections-mode default)
+        si_out[0, 2] = lane_count
         si_out[0, 3] = lateral
         si_out[0, 4] = longitudinal
         si_out[0, 5] = turning
@@ -505,18 +552,21 @@ def _make_kernel(cfg: PipelineConfig):
         si_out[0, 16] = jnp.logical_not(night).astype(jnp.int32)
         si_out[0, 17] = congested.astype(jnp.int32)
         si_out[0, 18] = clear.astype(jnp.int32)
-        si_out[0, 19] = jnp.int32(0)  # fog (lap_var default 1000 -> False)
+        si_out[0, 19] = fog.astype(jnp.int32)
         si_out[0, 20] = has_min_ttc.astype(jnp.int32)
 
     return kernel
 
 
-def make_fused_tagging_step(cfg: PipelineConfig, interpret: bool = False):
-    """Returns ``step(state_arrays, dets_arrays, table_arrays, v_scalars)
-    -> (state_arrays', outputs)`` running the whole detections-mode
-    tagging stage as one Pallas kernel.  See `tagging.rules` for the
+def make_fused_tagging_step(cfg: PipelineConfig, frames_mode: bool = False,
+                            interpret: bool = False):
+    """Returns ``step(state_arrays, dets_arrays, table_arrays, v_scalars,
+    lane_vals, feat_vals) -> (state_arrays', outputs)`` running the whole
+    tagging stage as one Pallas kernel.  ``frames_mode`` statically
+    selects the image-feature scene branches (lane_vals/feat_vals rows
+    are consumed; pass None otherwise).  See `tagging.rules` for the
     dict-building wrapper that consumes this."""
-    kernel = _make_kernel(cfg)
+    kernel = _make_kernel(cfg, frames_mode)
     W = cfg.tagging.scene_smoothing_window
     H = cfg.tagging.maneuver_history
     HI = cfg.tagging.interaction_history
@@ -526,9 +576,19 @@ def make_fused_tagging_step(cfg: PipelineConfig, interpret: bool = False):
              icent, ilen, iprev,
              dbox, dcls, dconf, dvalid,
              tbox, tcls, tid, thits, tvel, tvelc,
-             speed, heading, accel, yaw, ego_x, ego_y):
+             speed, heading, accel, yaw, ego_x, ego_y,
+             lane_vals=None, feat_vals=None):
         f32 = jnp.float32
-        D = dcls.shape[0]
+        if frames_mode:
+            lrow = jnp.stack(
+                [jnp.asarray(v, f32) for v in lane_vals]
+            )[None, :]
+            frow = jnp.stack(
+                [jnp.asarray(v, f32) for v in feat_vals]
+            )[None, :]
+        else:
+            lrow = jnp.zeros((1, 8), f32)
+            frow = jnp.zeros((1, 6), f32)
         vrow = jnp.stack([
             jnp.asarray(speed, f32), jnp.asarray(heading, f32),
             jnp.asarray(accel, f32), jnp.asarray(yaw, f32),
@@ -564,6 +624,8 @@ def make_fused_tagging_step(cfg: PipelineConfig, interpret: bool = False):
                 smem,                              # vrow
                 smem,                              # crow
                 vmem,                              # weights
+                smem,                              # lane row
+                smem,                              # feats row
                 vmem, vmem, vmem, vmem, vmem,      # state
             ],
             out_specs=(
@@ -580,6 +642,7 @@ def make_fused_tagging_step(cfg: PipelineConfig, interpret: bool = False):
             tvel.astype(f32), tvelc.astype(jnp.int32)[:, None],
             vrow, crow,
             jnp.asarray(_scene_weights()),
+            lrow, frow,
             votes.astype(jnp.int32)[None, :], mhist.astype(f32),
             icent.astype(f32), ilen.astype(jnp.int32)[:, None],
             iprev.astype(jnp.int32)[:, None],

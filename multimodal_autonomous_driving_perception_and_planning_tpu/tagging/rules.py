@@ -647,7 +647,10 @@ def make_tagging_step(cfg: PipelineConfig, backend: str = None,
 
     from ..ops.tagging_pallas import SF, SI, make_fused_tagging_step
 
-    fused = make_fused_tagging_step(cfg, interpret=interpret)
+    fused_det = make_fused_tagging_step(cfg, frames_mode=False,
+                                        interpret=interpret)
+    fused_frames = make_fused_tagging_step(cfg, frames_mode=True,
+                                           interpret=interpret)
     sf_i = {k: i for i, k in enumerate(SF)}
     si_i = {k: i for i, k in enumerate(SI)}
 
@@ -661,13 +664,34 @@ def make_tagging_step(cfg: PipelineConfig, backend: str = None,
         lane_obs: LaneObservation,
         frame_feats: Dict,
     ):
-        if lane_obs is not None or frame_feats is not None:
-            # Frames mode: the image-feature branches stay on the XLA
-            # formulation (its cost is small next to the image stack).
+        if (lane_obs is None) != (frame_feats is None):
+            # Mixed availability never happens in the pipeline (the lane
+            # step produces both); keep the XLA path for odd callers.
             return tagging_step(
                 state, dets, table, confirmed, n_confirmed, vstate,
                 lane_obs, frame_feats,
             )
+        if lane_obs is not None:
+            fused = fused_frames
+            extra = dict(
+                lane_vals=(
+                    lane_obs.left_fit[0], lane_obs.left_fit[1],
+                    lane_obs.left_fit[2], lane_obs.right_fit[0],
+                    lane_obs.right_fit[1], lane_obs.right_fit[2],
+                    lane_obs.left_found, lane_obs.right_found,
+                ),
+                feat_vals=(
+                    frame_feats["center_edge_density"],
+                    frame_feats["num_long_lines"],
+                    frame_feats["avg_line_length"],
+                    frame_feats["green_ratio"],
+                    frame_feats["brightness"],
+                    frame_feats["laplacian_var"],
+                ),
+            )
+        else:
+            fused = fused_det
+            extra = {}
         (votes, mhist, icent, ilen, sf, si, present, tconf,
          itype, iconf, irisk, dist, rel, ttc, httc) = fused(
             state.scene_votes, state.scene_count,
@@ -678,6 +702,7 @@ def make_tagging_step(cfg: PipelineConfig, backend: str = None,
             table.velocity, table.vel_count,
             vstate.speed, vstate.heading, vstate.acceleration,
             vstate.yaw_rate, vstate.x, vstate.y,
+            **extra,
         )
         frame_count = state.frame_count + 1
         new_state = TaggingState(

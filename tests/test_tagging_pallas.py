@@ -150,44 +150,61 @@ def test_kernel_vmap_batches():
                 np.testing.assert_array_equal(a, b, err_msg=k)
 
 
-def test_frames_mode_falls_back_to_xla():
-    """With lane_obs/frame_feats present the dispatcher must use the XLA
-    formulation (the kernel is detections-mode only)."""
-    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
-    step = make_tagging_step(cfg, backend="tpu", interpret=True)
-    # The returned callable must accept frame features without touching
-    # the kernel: exercised by passing the XLA-path arguments.
+def _rand_lane_feats(rng):
     from multimodal_autonomous_driving_perception_and_planning_tpu.types import (
         LaneObservation,
     )
 
-    rng = np.random.default_rng(0)
-    dets, table, vs = _rand_frame(rng, 0)
+    lf = bool(rng.random() < 0.7)
+    rf = bool(rng.random() < 0.7)
     lane_obs = LaneObservation(
-        left_fit=jnp.asarray([0.0, 0.1, 100.0], jnp.float32),
-        right_fit=jnp.asarray([0.0, -0.1, 500.0], jnp.float32),
-        left_found=jnp.asarray(True),
-        right_found=jnp.asarray(True),
-        left_confidence=jnp.float32(0.8),
-        right_confidence=jnp.float32(0.8),
-        offset_px=jnp.float32(3.0),
-        has_offset=jnp.asarray(True),
+        left_fit=jnp.asarray(rng.normal(0, [1e-4, 0.3, 200]), jnp.float32),
+        right_fit=jnp.asarray(rng.normal([0, 0, 450], [1e-4, 0.3, 100]), jnp.float32),
+        left_found=jnp.asarray(lf),
+        right_found=jnp.asarray(rf),
+        left_confidence=jnp.float32(rng.uniform(0, 1)),
+        right_confidence=jnp.float32(rng.uniform(0, 1)),
+        offset_px=jnp.float32(rng.normal(0, 10)),
+        has_offset=jnp.asarray(lf and rf),
     )
     feats = {
-        "center_edge_density": jnp.float32(0.2),
-        "num_long_lines": jnp.int32(8),
-        "avg_line_length": jnp.float32(200.0),
-        "green_ratio": jnp.float32(0.05),
-        "brightness": jnp.float32(100.0),
-        "laplacian_var": jnp.float32(500.0),
+        "center_edge_density": jnp.float32(rng.uniform(0, 0.4)),
+        "num_long_lines": jnp.int32(rng.integers(0, 12)),
+        "avg_line_length": jnp.float32(rng.uniform(50, 300)),
+        "green_ratio": jnp.float32(rng.uniform(0, 0.3)),
+        "brightness": jnp.float32(rng.uniform(30, 200)),
+        "laplacian_var": jnp.float32(rng.uniform(20, 2000)),
     }
-    state = TaggingState.initial(
-        cfg.tagging.scene_smoothing_window, cfg.tagging.maneuver_history, _T
-    )
-    new_state, tags = step(state, dets, table, None, None, vs, lane_obs, feats)
-    xla = make_tagging_step(cfg, backend="cpu")
-    new_state2, tags2 = xla(state, dets, table, None, None, vs, lane_obs, feats)
-    for k in sorted(tags):
-        np.testing.assert_allclose(
-            np.asarray(tags[k]), np.asarray(tags2[k]), atol=1e-6, err_msg=k
-        )
+    return lane_obs, feats
+
+
+def test_kernel_matches_xla_frames_mode():
+    """Frames mode (lane fits + scene features) through the kernel's
+    frames branch: exactly equal discrete tags vs the XLA engines over a
+    threaded random stream."""
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    xla_step = jax.jit(make_tagging_step(cfg, backend="cpu"))
+    pal_step = jax.jit(make_tagging_step(cfg, backend="cpu", interpret=True))
+
+    rng = np.random.default_rng(11)
+    s_x = _initial_state()
+    s_p = _initial_state()
+    for f in range(60):
+        dets, table, vs = _rand_frame(rng, f)
+        lane_obs, feats = _rand_lane_feats(rng)
+        s_x, tags_x = xla_step(s_x, dets, table, None, None, vs, lane_obs, feats)
+        s_p, tags_p = pal_step(s_p, dets, table, None, None, vs, lane_obs, feats)
+        assert set(tags_x) == set(tags_p)
+        for k in sorted(tags_x):
+            a, b = np.asarray(tags_x[k]), np.asarray(tags_p[k])
+            assert a.dtype == b.dtype, (k, a.dtype, b.dtype)
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f"{f}:{k}")
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=f"{f}:{k}")
+        for fld in ("scene_votes", "scene_count", "man_history", "man_count",
+                    "int_centers", "int_len", "int_track_id", "frame_count"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_x, fld)), np.asarray(getattr(s_p, fld)),
+                atol=1e-6, err_msg=f"{f}:{fld}",
+            )
