@@ -80,6 +80,7 @@ def run_demo(
     smooth_tracks: bool = False,
     yolo: bool = False,
     weights: str = None,
+    yolo_img_size: int = 640,
 ):
     import cv2
     import jax
@@ -147,7 +148,10 @@ def run_demo(
 
         print(f"      YOLO detector (weights: {weights or 'random init'})")
         detector = ObjectDetector(
-            cfg, mode="yolo", model_path=weights or ""
+            mode="yolo",
+            model_path=weights or "",
+            cfg=cfg,
+            img_size=yolo_img_size,
         )
     dets, inputs = _build_inputs(frames, total, dt, use_frames, cfg,
                                  detector=detector)
@@ -362,6 +366,8 @@ def main(argv=None):
     parser.add_argument("--weights", type=str, default=None,
                         help="YOLO weights: .npz from tools/export_weights.py "
                              "or a torch state_dict .pt")
+    parser.add_argument("--img-size", type=int, default=640,
+                        help="YOLO letterbox size (speed/accuracy knob)")
     args = parser.parse_args(argv)
 
     if args.test:
@@ -386,6 +392,7 @@ def main(argv=None):
         smooth_tracks=args.smooth_tracks,
         yolo=args.yolo,
         weights=args.weights,
+        yolo_img_size=args.img_size,
     )
 
 

@@ -77,7 +77,13 @@ class PipelineServer:
             export_sequence_runner,
         )
 
-        self.cfg = cfg or DEFAULT_CONFIG
+        if cfg is None:
+            # Serving ships only _OUTPUT_KEYS; the candidate/trajectory
+            # tensors (~60 KB/frame) would be stacked and then discarded.
+            cfg = DEFAULT_CONFIG.replace(
+                emit_candidates=False, emit_trajectories=False
+            )
+        self.cfg = cfg
         self.chunk = int(chunk)
         if artifact is None:
             platform = jax.default_backend()
@@ -93,6 +99,16 @@ class PipelineServer:
         self._next_id = 0
         self._lock = threading.Lock()  # one device program at a time
         self.device = jax.devices()[0].platform
+        # Warm the program before the socket binds: the first execution of
+        # a deserialized artifact pays the server-side program load
+        # (35-75 s measured on the tunnel runtime, ANALYSIS.md section 5);
+        # paying it here makes first-request latency ~= steady state.
+        import time as _time
+
+        t0 = _time.time()
+        _, outs = self.run(self._initial_state(), self._example)
+        jax.block_until_ready(outs["plan_best"])
+        self.warmup_seconds = _time.time() - t0
 
     # -- session management -------------------------------------------------
     def create_session(self) -> str:
@@ -261,7 +277,8 @@ def serve(
     httpd.pipeline_server = ps
     print(
         f"Serving AOT pipeline artifact ({ps.artifact_bytes} bytes, "
-        f"{chunk}-frame chunks) on :{port}"
+        f"{chunk}-frame chunks) on :{port} "
+        f"(warmup {ps.warmup_seconds:.1f}s)"
     )
     if block:
         httpd.serve_forever()
@@ -296,7 +313,10 @@ def main(argv=None):
     from .. import DEFAULT_CONFIG
 
     cfg = DEFAULT_CONFIG.replace(
-        use_frames=False, enable_tagging=not args.no_tagging
+        use_frames=False,
+        enable_tagging=not args.no_tagging,
+        emit_candidates=False,
+        emit_trajectories=False,
     )
     serve(
         cfg=cfg,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import EstimatorConfig
 from ..ops.kalman import KalmanModel, kalman_predict, kalman_update
@@ -154,7 +155,14 @@ def _estimator_step_fused(
     """estimator_step via the single Pallas kernel (ops.kalman_pallas)."""
     from ..ops.kalman_pallas import make_fused_estimator_step
 
-    key = (id(model), cfg.dt, cfg.speed_heading_hold, interpret)
+    # Key by matrix contents, not id(model): ids can be recycled after GC
+    # and a stale entry would silently apply old baked F/Q/R constants.
+    key = (
+        tuple(np.asarray(m).tobytes() for m in (model.F, model.H, model.Q, model.R)),
+        cfg.dt,
+        cfg.speed_heading_hold,
+        interpret,
+    )
     if key not in _FUSED_CACHE:
         _FUSED_CACHE[key] = make_fused_estimator_step(
             model, cfg.dt, cfg.speed_heading_hold, interpret=interpret

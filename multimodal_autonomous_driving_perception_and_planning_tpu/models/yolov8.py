@@ -363,6 +363,30 @@ _ULTRA_LAYER_TO_FLAX = {
 }
 
 
+def infer_variant_from_state_dict(state_dict: Dict[str, Any]) -> str:
+    """Infer the YOLOv8 variant from tensor shapes.
+
+    The stem conv's out-channel count is ``_make_divisible(64 * width)``
+    and uniquely identifies the variant (n=16, s=32, m=48, l=64, x=80).
+    Raises ValueError when no stem conv is present or the width is not a
+    known variant — callers should surface that instead of guessing.
+    """
+    by_stem = {}
+    for v, (_, width, _) in YOLOV8_VARIANTS.items():
+        by_stem[_make_divisible(64 * width)] = v
+    for key in ("model.0.conv.weight", "0.conv.weight"):
+        w = state_dict.get(key)
+        if w is not None:
+            out_ch = int(np.asarray(w).shape[0])  # torch OIHW
+            if out_ch in by_stem:
+                return by_stem[out_ch]
+            raise ValueError(
+                f"stem conv has {out_ch} out-channels; not a known "
+                f"yolov8 variant width ({sorted(by_stem)})"
+            )
+    raise ValueError("no stem conv ('model.0.conv.weight') in state dict")
+
+
 def load_torch_state_dict(state_dict: Dict[str, Any], variant: str = "n",
                           num_classes: int = 80):
     """Convert an ultralytics YOLOv8 ``model.state_dict()`` into Flax

@@ -30,6 +30,7 @@ def make_yolo_frontend(
     batch: int = 8,
     score_threshold: float = 0.25,
     iou_threshold: float = 0.45,
+    img_size: int = 640,
 ):
     """Build (init_fn, stream_fn): stream_fn(variables, frames (T,H,W,3))
     -> detection stream dict of (T, D, ...) arrays."""
@@ -40,6 +41,7 @@ def make_yolo_frontend(
         max_det=cfg.detector.max_detections,
         score_threshold=score_threshold,
         iou_threshold=iou_threshold,
+        img_size=img_size,
     )
 
     @partial(jax.jit, static_argnums=())
@@ -165,6 +167,7 @@ class ObjectDetector:
         model_path: Optional[str] = None,
         cfg: Optional[PipelineConfig] = None,
         rng_seed: int = 0,
+        img_size: int = 640,
     ):
         from ..config import DEFAULT_CONFIG
 
@@ -175,42 +178,57 @@ class ObjectDetector:
         self._stream_fn = None
 
         if mode == "yolo":
-            init_fn, self._stream_fn = make_yolo_frontend(self.cfg)
+            loaded, variant = (None, "n")
             if model_path:
-                loaded = self._try_load_weights(model_path)
+                loaded, variant = self._try_load_weights(model_path)
                 if loaded is None:
                     print(
                         "Could not load YOLO weights "
                         f"({model_path}); falling back to simulated mode."
                     )
                     self.mode = "simulated"
-                else:
-                    self.variables = loaded
-            else:
-                self.variables = init_fn(jax.random.PRNGKey(rng_seed))
+                    return
+            self.variant = variant
+            init_fn, self._stream_fn = make_yolo_frontend(
+                self.cfg, variant=variant, img_size=img_size
+            )
+            self.variables = (
+                loaded
+                if loaded is not None
+                else init_fn(jax.random.PRNGKey(rng_seed))
+            )
 
     def _try_load_weights(self, model_path: str):
         """Accepts a portable ``.npz`` archive (tools/export_weights.py —
         no torch needed on this host) or a torch state_dict checkpoint
-        (see models.yolov8)."""
+        (see models.yolov8).  Returns (variables_or_None, variant); the
+        variant comes from archive metadata when present, else is inferred
+        from tensor shapes so an un-hinted yolov8s/m export never builds
+        the wrong architecture."""
         try:
-            from ..models.yolov8 import load_torch_state_dict
+            from ..models.yolov8 import (
+                infer_variant_from_state_dict,
+                load_torch_state_dict,
+            )
 
             if model_path.endswith(".npz"):
                 from ..utils.weights import load_npz_state_dict
 
                 sd, meta = load_npz_state_dict(model_path)
-                return load_torch_state_dict(
-                    sd, variant=meta.get("variant") or "n"
-                )
-            import torch
+            else:
+                import torch
 
-            sd = torch.load(model_path, map_location="cpu", weights_only=True)
-            if isinstance(sd, dict) and "state_dict" in sd:
-                sd = sd["state_dict"]
-            return load_torch_state_dict(sd)
-        except Exception:
-            return None
+                sd = torch.load(
+                    model_path, map_location="cpu", weights_only=True
+                )
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                meta = {}
+            variant = meta.get("variant") or infer_variant_from_state_dict(sd)
+            return load_torch_state_dict(sd, variant=variant), variant
+        except Exception as e:  # surfaced: silent fallback hid shape bugs
+            print(f"YOLO weight load failed ({model_path}): {e!r}")
+            return None, "n"
 
     # -- per-frame host API (reference detector.py:86-101) -----------------
     def detect(self, frame: np.ndarray):

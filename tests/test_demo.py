@@ -36,6 +36,30 @@ def test_run_demo_console_contract_and_writer(tmp_path, monkeypatch, capsys):
     cap.release()
 
 
+def test_run_demo_yolo_smoke(tmp_path, monkeypatch, capsys):
+    """--yolo path (random init, small letterbox): the detector constructor
+    regression (cfg passed positionally into mode) crashed this
+    unconditionally; keep it covered end-to-end."""
+    monkeypatch.chdir(tmp_path)
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.demo import (
+        run_demo,
+    )
+
+    run_demo(
+        num_frames=2,
+        save_video=False,
+        display=False,
+        synthetic=True,
+        use_frames=False,
+        enable_tagging=False,
+        yolo=True,
+        yolo_img_size=160,  # CPU-affordable letterbox for the smoke test
+    )
+    out = capsys.readouterr().out
+    assert "YOLO detector (weights: random init)" in out
+    assert "Demo Complete!" in out and "Processed 2 frames" in out
+
+
 def test_run_demo_with_video_file(tmp_path, monkeypatch, capsys):
     """The reference's primary CLI path: --video file -> VideoDataLoader ->
     full pipeline (frames mode) -> console summary."""

@@ -128,6 +128,65 @@ def test_blip_dir_to_npz_feeds_the_converter(tmp_path):
     assert set(got) == set(sd)
 
 
+def test_yolo_variant_inferred_from_shapes(tmp_path):
+    """An archive exported without --variant must still build the right
+    architecture: both the export tool and the runtime loader infer the
+    variant from the stem conv's out-channel count (advisor finding: the
+    old default-'n' path mis-built s/m and silently fell back)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
+        infer_variant_from_state_dict,
+    )
+
+    rng = np.random.default_rng(2)
+    for stem, variant in ((16, "n"), (32, "s"), (48, "m"), (64, "l"), (80, "x")):
+        sd = {
+            "model.0.conv.weight": rng.standard_normal(
+                (stem, 3, 3, 3)
+            ).astype(np.float32)
+        }
+        assert infer_variant_from_state_dict(sd) == variant
+
+    # Export tool stamps the inferred variant with no hint given.
+    mod = _load_tool()
+    sd = {
+        "model.0.conv.weight": torch.tensor(
+            rng.standard_normal((32, 3, 3, 3)).astype(np.float32)
+        )
+    }
+    pt = tmp_path / "s.pt"
+    torch.save({"state_dict": sd}, pt)
+    arrays = mod.export_yolo(str(pt))
+    assert str(arrays["__meta_variant__"]) == "s"
+
+    # Runtime loader on an archive with NO variant metadata.
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.detector import (
+        ObjectDetector,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.weights import (
+        save_npz_state_dict,
+    )
+
+    npz = tmp_path / "s_nometa.npz"
+    save_npz_state_dict(
+        str(npz),
+        {"model.0.conv.weight": np.asarray(sd["model.0.conv.weight"])},
+        format="madpp-yolo-v1",
+    )
+    det = ObjectDetector(mode="yolo", model_path=str(npz), img_size=160)
+    assert det.mode == "yolo" and det.variant == "s"
+
+    # Unknown stem width fails loudly into the simulated fallback (with the
+    # exception printed, not swallowed).
+    bad = tmp_path / "bad.npz"
+    save_npz_state_dict(
+        str(bad),
+        {"model.0.conv.weight": rng.standard_normal((17, 3, 3, 3)).astype(np.float32)},
+        format="madpp-yolo-v1",
+    )
+    det = ObjectDetector(mode="yolo", model_path=str(bad))
+    assert det.mode == "simulated"
+
+
 def test_detector_loads_npz_weights(tmp_path):
     """ObjectDetector(mode='yolo', model_path=...npz) loads without torch
     at runtime (the converter tolerates the toy key subset; real archives

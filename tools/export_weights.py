@@ -81,9 +81,24 @@ def export_yolo(src: str, variant_hint: str = "") -> dict:
 
     arrays = _to_numpy_dict(sd)
     arrays["__meta_format__"] = "madpp-yolo-v1"
-    if variant_hint:
-        arrays["__meta_variant__"] = variant_hint
+    variant = variant_hint or _infer_yolo_variant(arrays)
+    if variant:
+        arrays["__meta_variant__"] = variant
     return arrays
+
+
+def _infer_yolo_variant(arrays: dict) -> str:
+    """Stem-conv out-channels -> variant (n=16, s=32, m=48, l=64, x=80).
+
+    Kept in sync with the framework's
+    models/yolov8.py:infer_variant_from_state_dict (this tool deliberately
+    imports nothing from the package so it runs on the checkpoint host).
+    """
+    stem_to_variant = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}
+    for key in ("model.0.conv.weight", "0.conv.weight"):
+        if key in arrays:
+            return stem_to_variant.get(int(arrays[key].shape[0]), "")
+    return ""
 
 
 def export_blip(src: str) -> dict:
