@@ -95,6 +95,14 @@ def main():
         file=sys.stderr,
     )
     print(
+        "# config note: this is the SERVING-volume output set (best plan + "
+        "track summaries, emit_candidates/emit_trajectories off). The "
+        "reference demo also draws candidate trajectories each frame; the "
+        "apples-to-apples demo-volume number is benchmarks/suite.py's "
+        "e2e_demo_outputs_fps.",
+        file=sys.stderr,
+    )
+    print(
         json.dumps(
             {
                 "metric": "e2e_frames_per_sec_per_chip",

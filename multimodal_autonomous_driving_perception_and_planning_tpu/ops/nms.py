@@ -39,8 +39,16 @@ def nms(
     pre_topk: int = 1024,
     class_aware: bool = True,
     max_wh: float = 7680.0,
+    backend: str = None,
 ) -> NMSResult:
     """Greedy NMS over an (N, 4) candidate set.
+
+    On TPU the suppression fixpoint dispatches (at trace time) to the
+    Pallas kernel in `nms_pallas` — bit-identical keep decisions, but the
+    data-dependent loop is opaque to XLA, which kills the >35-minute
+    compile the XLA while_loop triggered against the yolov8s/m towers
+    (ANALYSIS.md §2).  ``backend`` overrides the `jax.default_backend()`
+    probe for callers that jit for a non-default device.
 
     Args:
       boxes: (N, 4) xyxy.
@@ -49,6 +57,8 @@ def nms(
       class_aware: offset boxes per class so suppression never crosses
         classes (ultralytics' ``c = x[:, 5:6] * max_wh`` trick).
     """
+    if backend is None:
+        backend = jax.default_backend()
     scores = jnp.where(scores > score_threshold, scores, 0.0)
 
     k = min(pre_topk, boxes.shape[0])
@@ -62,7 +72,6 @@ def nms(
         iou_boxes = top_boxes + offset
     else:
         iou_boxes = top_boxes
-    iou = pairwise_iou(iou_boxes, iou_boxes)  # (k, k)
 
     # top_k returns scores descending, so candidate j can only be suppressed
     # by a *kept* candidate i < j with IoU > threshold.  The greedy keep
@@ -73,24 +82,30 @@ def nms(
     # round), reaching the exact sequential-greedy result in ~chain-depth
     # rounds instead of a k-iteration serial loop; each round is one
     # (k x k) masked any-reduction on the VPU.
-    rng_k = jnp.arange(k)
-    S = (iou > iou_threshold) & (rng_k[:, None] < rng_k[None, :])  # (k, k)
+    if backend == "tpu":
+        from .nms_pallas import nms_keep_pallas
 
-    def f(keep):
-        return alive & jnp.logical_not(jnp.any(S & keep[:, None], axis=0))
+        keep = nms_keep_pallas(iou_boxes, top_scores, iou_threshold)
+    else:
+        iou = pairwise_iou(iou_boxes, iou_boxes)  # (k, k)
+        rng_k = jnp.arange(k)
+        S = (iou > iou_threshold) & (rng_k[:, None] < rng_k[None, :])  # (k, k)
 
-    def cond(carry):
-        keep, nxt, it = carry
-        return jnp.any(keep != nxt) & (it < k)
+        def f(keep):
+            return alive & jnp.logical_not(jnp.any(S & keep[:, None], axis=0))
 
-    def body(carry):
-        _, keep, it = carry
-        return keep, f(keep), it + 1
+        def cond(carry):
+            keep, nxt, it = carry
+            return jnp.any(keep != nxt) & (it < k)
 
-    keep0 = alive
-    _, keep, _ = jax.lax.while_loop(
-        cond, body, (keep0, f(keep0), jnp.asarray(0, jnp.int32))
-    )
+        def body(carry):
+            _, keep, it = carry
+            return keep, f(keep), it + 1
+
+        keep0 = alive
+        _, keep, _ = jax.lax.while_loop(
+            cond, body, (keep0, f(keep0), jnp.asarray(0, jnp.int32))
+        )
 
     # Compact the survivors (score order preserved) into max_det slots.
     kept_scores = jnp.where(keep, top_scores, -1.0)
