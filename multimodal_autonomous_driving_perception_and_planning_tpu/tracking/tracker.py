@@ -86,13 +86,27 @@ def confirmed_order(table: TrackTable, min_hits: int) -> Tuple[jnp.ndarray, jnp.
 
 
 def tracker_update(
-    table: TrackTable, dets: Detections, cfg: TrackerConfig
+    table: TrackTable, dets: Detections, cfg: TrackerConfig,
+    backend: str | None = None,
 ) -> Tuple[TrackTable, jnp.ndarray]:
     """One tracker step.
 
     Returns the new table and the per-slot matched-detection index
     (-1 where unmatched), which downstream stages can use for diagnostics.
+
+    On TPU the whole step dispatches (at trace time) to one fused Pallas
+    kernel (`ops.tracker_pallas`) — IoU build, association fixpoint,
+    matched updates, trajectory ring, births, deaths in a single Mosaic
+    program; bit-identical to this XLA formulation (fuzzed in
+    tests/test_tracker_pallas.py).  The XLA path below remains the CPU/
+    test path and the equivalence oracle.
     """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        from ..ops.tracker_pallas import tracker_update_pallas
+
+        return tracker_update_pallas(table, dets, cfg)
     t_cap = table.track_id.shape[0]
     d_cap = dets.bbox.shape[0]
     traj_cap = table.trajectory.shape[1] // 2  # flat interleaved (T, 2*L)
