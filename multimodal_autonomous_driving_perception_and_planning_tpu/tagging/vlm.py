@@ -273,24 +273,37 @@ class _JaxBlipBackend:
                 make_caption_fn,
             )
 
-            from transformers import AutoTokenizer
+            import os
 
             name = self.cfg.model_name
+            vocab_candidates = []
             if name.endswith(".npz"):
-                # Portable-archive path: tokenizer files live next to the
-                # archive (copy tokenizer.json/vocab.txt when exporting) or
-                # resolve from the default hub name if cached.
-                import os
+                # Portable-archive path: tools/export_weights.py writes the
+                # tokenizer's vocab.txt next to the archive; the in-repo
+                # WordPiece implementation consumes it, so the TPU host
+                # needs neither torch nor transformers.
+                vocab_candidates.append(
+                    os.path.join(os.path.dirname(name) or ".", "vocab.txt")
+                )
+            elif os.path.isdir(name):
+                vocab_candidates.append(os.path.join(name, "vocab.txt"))
+            vocab_path = next(
+                (p for p in vocab_candidates if os.path.exists(p)), None
+            )
+            if vocab_path is not None:
+                from ..utils.tokenizer import WordPieceTokenizer
 
-                tok_dir = os.path.dirname(name) or "."
-                try:
-                    self._tokenizer = AutoTokenizer.from_pretrained(tok_dir)
-                except Exception:
-                    self._tokenizer = AutoTokenizer.from_pretrained(
-                        "Salesforce/blip-image-captioning-base"
-                    )
+                self._tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
             else:
-                self._tokenizer = AutoTokenizer.from_pretrained(name)
+                # No local vocab: resolve via transformers (HF cache).
+                from transformers import AutoTokenizer
+
+                hub = (
+                    "Salesforce/blip-image-captioning-base"
+                    if name.endswith(".npz")
+                    else name
+                )
+                self._tokenizer = AutoTokenizer.from_pretrained(hub)
             self._bcfg = BlipConfig()
             # num_beams > 1 uses the scan beam search proven token-for-token
             # against HF generate (the reference decodes with num_beams=3,

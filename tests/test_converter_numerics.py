@@ -335,3 +335,159 @@ def test_yolo_convbn_matches_torch():
     with torch.no_grad():
         want = block(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer: token-for-token vs transformers.BertTokenizer
+# ---------------------------------------------------------------------------
+
+_VOCAB = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "a", "photo", "of", "driving", "scene", "showing", "this", "situation",
+    "is", "the", "street", "with", "traffic", "during", "day", "night",
+    "car", "cars", "truck", "bus", "busy", "danger", "##ous", "safe",
+    "road", "ahead", "heavy", "light", "moving", "at", "about", "km",
+    "h", "##s", "##ing", "##ed", "inter", "##section", "high", "##way",
+    "pedestrian", "##rian", "cross", "##walk", "wet", "rain", "##y",
+    ",", ".", "!", "?", "'", "100", "10", "##0", "##1", "n", "##'", "t",
+    "don", "it", "we", "##n", "##t", "'re", "'s",
+]
+
+_TOKENIZER_SENTENCES = [
+    "a photo of a driving scene showing the street with heavy traffic",
+    "this driving situation is dangerous with cars moving at about 100 km h",
+    "The street, with LIGHT traffic!  Is it safe?",
+    "rainy intersection ahead... pedestrians crossing the crosswalk",
+    "café résumé straße",  # accents -> stripped / UNK
+    "unknownlongword supercalifragilistic",
+    "don't we're it's",
+    "漢字 mixed with latin",  # CJK chars isolated
+    "  spaced\tout\nwhitespace  ",
+    "punct.every,where!now?",
+]
+
+
+def _hf_bert_tokenizer(tmp_path):
+    from transformers import BertTokenizer
+
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(_VOCAB) + "\n", encoding="utf-8")
+    return BertTokenizer(str(vocab_file)), str(vocab_file)
+
+
+def test_wordpiece_tokens_match_transformers(tmp_path):
+    """Full-pipeline equality: ids from the in-repo WordPiece == BertTokenizer
+    for every sentence (casing, accents, punctuation splits, subwords,
+    unknowns, CJK isolation, whitespace cleanup)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.tokenizer import (
+        WordPieceTokenizer,
+    )
+
+    hf, vocab_file = _hf_bert_tokenizer(tmp_path)
+    ours = WordPieceTokenizer.from_vocab_file(vocab_file)
+    for s in _TOKENIZER_SENTENCES:
+        want = hf(s)["input_ids"]
+        got = ours.encode(s)
+        assert got == want, f"{s!r}: {got} != {want}"
+        # __call__ surface the VLM backend uses.
+        arr = ours(s, return_tensors="np")["input_ids"]
+        assert arr.shape == (1, len(want))
+
+
+def test_wordpiece_decode_matches_transformers(tmp_path):
+    """decode(skip_special_tokens=True) including HF's tokenization-space
+    cleanup ('a , b .' -> 'a, b.')."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.tokenizer import (
+        WordPieceTokenizer,
+    )
+
+    hf, vocab_file = _hf_bert_tokenizer(tmp_path)
+    ours = WordPieceTokenizer.from_vocab_file(vocab_file)
+    for s in _TOKENIZER_SENTENCES:
+        ids = hf(s)["input_ids"]
+        assert ours.decode(ids) == hf.decode(ids, skip_special_tokens=True), s
+
+
+def test_jax_blip_backend_self_contained(tmp_path, monkeypatch):
+    """The VERDICT workflow: npz + vocab.txt next to it -> the JAX backend
+    captions with NO transformers import (the archive is a tiny random-init
+    BLIP; the caption is gibberish tokens from _VOCAB, but it must be a
+    real decode, not the stub fallback)."""
+    import builtins
+
+    from transformers import BlipConfig as HFBlipConfig
+    from transformers import BlipForConditionalGeneration
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models import (
+        blip as jblip,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.weights import (
+        save_npz_state_dict,
+    )
+
+    cfg_tiny = jblip.BlipConfig.tiny()
+    hf_cfg = HFBlipConfig(
+        vision_config=dict(
+            image_size=cfg_tiny.image_size, patch_size=cfg_tiny.patch_size,
+            hidden_size=cfg_tiny.vision_hidden, num_hidden_layers=cfg_tiny.vision_layers,
+            num_attention_heads=cfg_tiny.vision_heads,
+            intermediate_size=cfg_tiny.vision_mlp, layer_norm_eps=1e-5,
+            attention_dropout=0.0,
+        ),
+        text_config=dict(
+            vocab_size=len(_VOCAB), hidden_size=cfg_tiny.text_hidden,
+            encoder_hidden_size=cfg_tiny.vision_hidden,
+            num_hidden_layers=cfg_tiny.text_layers,
+            num_attention_heads=cfg_tiny.text_heads,
+            intermediate_size=cfg_tiny.text_mlp,
+            max_position_embeddings=cfg_tiny.max_position, layer_norm_eps=1e-12,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            bos_token_id=2, sep_token_id=3, pad_token_id=0, eos_token_id=3,
+            is_decoder=True,
+        ),
+    )
+    torch.manual_seed(0)
+    model = BlipForConditionalGeneration(hf_cfg).eval()
+    npz = tmp_path / "blip-tiny.npz"
+    save_npz_state_dict(
+        str(npz),
+        {k: v.numpy() for k, v in model.state_dict().items()},
+        format="madpp-blip-v1",
+    )
+    (tmp_path / "vocab.txt").write_text("\n".join(_VOCAB) + "\n", encoding="utf-8")
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.config import (
+        VLMConfig,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.tagging.vlm import (
+        _JaxBlipBackend,
+    )
+
+    # A tiny-config backend: patch BlipConfig() used inside _load to tiny
+    # with the test vocab size.
+    import dataclasses as _dc
+
+    tiny_vocab_cfg = _dc.replace(
+        jblip.BlipConfig.tiny(), vocab_size=len(_VOCAB),
+        bos_token_id=2, sep_token_id=3, pad_token_id=0,
+    )
+    monkeypatch.setattr(jblip, "BlipConfig", lambda: tiny_vocab_cfg)
+
+    # Block transformers to prove self-containment.
+    real_import = builtins.__import__
+
+    def guarded(name, *a, **k):
+        if name.startswith("transformers"):
+            raise ImportError("transformers blocked: host must be self-contained")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", guarded)
+
+    backend = _JaxBlipBackend(VLMConfig(model_name=str(npz), num_beams=1,
+                                        max_new_tokens=4))
+    frame = np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3)
+    ).astype(np.uint8)
+    text = backend.generate(frame, "a photo of", {})
+    assert backend.load_error is None, backend.load_error
+    assert "load failed" not in text.lower() and "error" not in text.lower()

@@ -101,6 +101,31 @@ def _infer_yolo_variant(arrays: dict) -> str:
     return ""
 
 
+def export_blip_vocab(src: str, out_npz: str) -> str:
+    """Write the BLIP (BERT) tokenizer's ``vocab.txt`` next to the npz.
+
+    The framework's JAX backend looks for tokenizer files beside the
+    archive (tagging/vlm.py) and its in-repo WordPiece implementation
+    consumes exactly this file — making the TPU host self-contained
+    (neither torch nor transformers needed at runtime).
+    """
+    import os
+    import shutil
+
+    dst = os.path.join(os.path.dirname(os.path.abspath(out_npz)), "vocab.txt")
+    if os.path.isdir(src) and os.path.exists(os.path.join(src, "vocab.txt")):
+        shutil.copyfile(os.path.join(src, "vocab.txt"), dst)
+        return dst
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(src, use_fast=False)
+    saved = tok.save_vocabulary(os.path.dirname(dst))
+    for p in saved:
+        if p and os.path.basename(p).startswith("vocab") and p != dst:
+            shutil.move(p, dst)
+    return dst
+
+
 def export_blip(src: str) -> dict:
     """HF hub name or local snapshot dir -> BLIP state_dict numpy archive."""
     import os
@@ -152,6 +177,12 @@ def main(argv=None) -> int:
     save_npz(arrays, args.output)
     n = sum(1 for k in arrays if not k.startswith("__meta_"))
     print(f"wrote {args.output}: {n} tensors ({args.kind})")
+    if args.kind == "blip":
+        try:
+            vocab = export_blip_vocab(args.src, args.output)
+            print(f"wrote {vocab} (tokenizer vocabulary)")
+        except Exception as e:  # vocab is required for the JAX backend
+            print(f"WARNING: could not export tokenizer vocab: {e}")
     return 0
 
 
