@@ -49,6 +49,18 @@ class LaneConfig:
     # smaller pool than the full-frame scene-classifier pass.
     lane_edge_capacity: int = 2048
     scene_edge_capacity: int = 4096
+    # Reduced scene-feature pass (the scene classifier consumes three
+    # thresholded statistics, not geometry — scene_classifier.py:145-162):
+    # run its Canny+Hough at 1/scene_downsample resolution with
+    # proportionally scaled thresholds, skip the TLS segment refinement
+    # (feature-only Hough), and cap its line pool separately.  Set
+    # scene_downsample=1, scene_refine=True for the full-resolution pass
+    # (reference-style geometry).  Tag equivalence of the default reduced
+    # pass is proven on the reference-diff stream
+    # (tests/test_reference_diff.py, tests/test_lanes.py).
+    scene_downsample: int = 2
+    scene_refine: bool = False
+    scene_max_lines: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

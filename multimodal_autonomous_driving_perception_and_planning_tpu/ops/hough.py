@@ -121,6 +121,7 @@ def hough_segments(
     max_lines: int = 64,
     edge_capacity: int = 8192,
     row_range=None,
+    refine: bool = True,
 ) -> HoughLines:
     """Dense Hough transform + segment reconstruction.
 
@@ -134,6 +135,13 @@ def hough_segments(
     matmul), so call sites size it to their mask: the ROI-restricted lane
     pass needs far less than a full-frame pass.  ``row_range`` restricts
     the edge scan to a static row band (see `compact_edges`).
+
+    ``refine=False`` is the feature-only mode for consumers that need
+    line counts/lengths rather than accurate endpoints (the scene
+    classifier's thresholded features): it skips the TLS refinement and
+    the tight-support recount, taking span extremes over the coarse
+    support at the grid theta — roughly half the per-peak cost, with
+    endpoint error bounded by the grid quantization (~2 px).
     """
     h, w = edges.shape
     diag = int(math.ceil(math.sqrt(h * h + w * w)))
@@ -210,27 +218,32 @@ def hough_segments(
     support0 = (d0 <= 2.0) & valid[None, :]  # (L, K)
     w0 = support0.astype(jnp.float32)
     n0 = jnp.maximum(jnp.sum(w0, axis=1), 1.0)
-
-    # ...then refine each line by total least squares over its support
-    # (closed-form 2x2 PCA), recovering sub-bin angle/offset.
     mx = jnp.sum(w0 * x[None, :], axis=1) / n0
     my = jnp.sum(w0 * y[None, :], axis=1) / n0
-    dxc = (x[None, :] - mx[:, None]) * w0
-    dyc = (y[None, :] - my[:, None]) * w0
-    sxx = jnp.sum(dxc * dxc, axis=1)
-    sxy = jnp.sum(dxc * dyc, axis=1)
-    syy = jnp.sum(dyc * dyc, axis=1)
-    phi = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)  # direction of max variance
-    dirx, diry = jnp.cos(phi), jnp.sin(phi)
-    # Refined normal and rho.
-    nx, ny = -diry, dirx
-    rho_ref = nx * mx + ny * my
 
-    # Tight support against the refined line.
-    d1 = jnp.abs(nx[:, None] * x[None, :] + ny[:, None] * y[None, :] - rho_ref[:, None])
-    support = (d1 <= 1.5) & valid[None, :]
+    if refine:
+        # ...then refine each line by total least squares over its support
+        # (closed-form 2x2 PCA), recovering sub-bin angle/offset.
+        dxc = (x[None, :] - mx[:, None]) * w0
+        dyc = (y[None, :] - my[:, None]) * w0
+        sxx = jnp.sum(dxc * dxc, axis=1)
+        sxy = jnp.sum(dxc * dyc, axis=1)
+        syy = jnp.sum(dyc * dyc, axis=1)
+        phi = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)  # direction of max variance
+        dirx, diry = jnp.cos(phi), jnp.sin(phi)
+        # Refined normal and rho.
+        nx, ny = -diry, dirx
+        rho_ref = nx * mx + ny * my
 
-    # Projection along the refined direction.
+        # Tight support against the refined line.
+        d1 = jnp.abs(nx[:, None] * x[None, :] + ny[:, None] * y[None, :] - rho_ref[:, None])
+        support = (d1 <= 1.5) & valid[None, :]
+    else:
+        # Feature-only mode: grid-theta direction, coarse support as-is.
+        dirx, diry = -st, ct
+        support = support0
+
+    # Projection along the line direction.
     t_par = dirx[:, None] * x[None, :] + diry[:, None] * y[None, :]  # (L, K)
     big = jnp.float32(1e9)
     t_min = jnp.min(jnp.where(support, t_par, big), axis=1)

@@ -25,6 +25,7 @@ from ..ops.image import (
     bgr_to_gray_u8,
     bgr_to_hsv_green_ratio,
     canny,
+    downsample2_u8,
     gaussian_blur5_u8,
     laplacian_variance,
     median_u8,
@@ -98,22 +99,40 @@ def _separate_and_fit(
 def make_scene_features(cfg: PipelineConfig):
     """Scene-classifier frame features (scene_classifier.py:145-257): a
     *second* fixed-threshold Canny+Hough pass plus HSV/brightness/Laplacian
-    stats.  Shared by the fused lane step and the per-frame compat facade."""
+    stats.  Shared by the fused lane step and the per-frame compat facade.
+
+    The classifier consumes only thresholded statistics (center edge
+    density > 0.15; >5 lines with avg length > 150; the HSV/brightness/
+    Laplacian scalars), so by default the Canny+Hough half runs REDUCED:
+    at 1/``scene_downsample`` resolution with vote/length thresholds and
+    the returned average length scaled by the factor, and with the
+    feature-only Hough (no TLS refine/tight-support, ``scene_refine``).
+    Tag equivalence vs the full-resolution pass and vs the reference is
+    asserted in tests/test_lanes.py and tests/test_reference_diff.py;
+    set scene_downsample=1, scene_refine=True for the full pass.
+    """
     h, w = cfg.frame_height, cfg.frame_width
     lc = cfg.lanes
+    s = max(1, int(lc.scene_downsample))
 
     def scene_features(frame: jnp.ndarray, gray: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        edges2 = canny(gray, jnp.float32(50.0), jnp.float32(150.0))
-        center = edges2[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3]
+        if s > 1:
+            gray_s = downsample2_u8(gray) if s == 2 else gray[::s, ::s]
+        else:
+            gray_s = gray
+        hs, ws = gray_s.shape
+        edges2 = canny(gray_s, jnp.float32(50.0), jnp.float32(150.0))
+        center = edges2[hs // 3 : 2 * hs // 3, ws // 3 : 2 * ws // 3]
         center_density = jnp.mean(center.astype(jnp.float32))
 
         scene_hl = hough_segments(
             edges2,
-            vote_threshold=100,
-            min_line_length=100.0,
+            vote_threshold=max(1, 100 // s),
+            min_line_length=100.0 / s,
             num_thetas=lc.num_thetas,
-            max_lines=lc.max_lines,
-            edge_capacity=lc.scene_edge_capacity,
+            max_lines=lc.scene_max_lines,
+            edge_capacity=max(256, lc.scene_edge_capacity // (s * s)),
+            refine=lc.scene_refine,
         )
         n_scene_lines = jnp.sum(scene_hl.valid.astype(jnp.int32))
         avg_len = jnp.sum(jnp.where(scene_hl.valid, scene_hl.length, 0.0)) / jnp.maximum(
@@ -123,7 +142,7 @@ def make_scene_features(cfg: PipelineConfig):
         return {
             "center_edge_density": center_density,
             "num_long_lines": n_scene_lines,
-            "avg_line_length": avg_len,
+            "avg_line_length": avg_len * s,  # full-resolution pixel units
             "green_ratio": bgr_to_hsv_green_ratio(frame),
             "brightness": jnp.mean(gray.astype(jnp.float32)),
             "laplacian_var": laplacian_variance(gray),

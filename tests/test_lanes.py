@@ -135,3 +135,65 @@ def test_edge_capacity_and_row_range():
     hl = hough_segments(noisy, vote_threshold=50, min_line_length=50.0,
                         edge_capacity=1024)
     assert bool(hl.edges_overflow)
+
+
+def test_reduced_scene_pass_tag_equivalent():
+    """The default reduced scene-feature pass (2x downsample + feature-only
+    Hough, config.py LaneConfig) must produce the same *thresholded*
+    classifier inputs — and therefore the same road-type tags — as the
+    full-resolution reference-style pass over the synthetic road stream.
+    Parity for the scene classifier is defined at the tag level
+    (scene_classifier.py:145-207 consumes booleans), not at the edge map.
+    """
+    import jax
+    import numpy as np
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+        make_sequence_runner,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        ego_motion_stream,
+        simulated_detection_stream,
+    )
+
+    n = 40
+    base = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    assert base.lanes.scene_downsample == 2 and not base.lanes.scene_refine
+    full_lanes = base.lanes.__class__(
+        **{**base.lanes.__dict__, "scene_downsample": 1, "scene_refine": True}
+    )
+    full = base.replace(lanes=full_lanes)
+
+    gen = SyntheticRoadGenerator(base.frame_width, base.frame_height)
+    frames = gen.generate_frames(n)
+    dets = simulated_detection_stream(n)
+    ego = ego_motion_stream(n, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    inputs["frame"] = jnp.asarray(np.ascontiguousarray(frames, np.uint8))
+
+    outs = {}
+    for name, cfg in (("reduced", base), ("full", full)):
+        run = make_sequence_runner(cfg, donate=False)
+        _, o = run(initial_state(cfg), inputs)
+        outs[name] = jax.tree_util.tree_map(np.asarray, o)
+
+    r, fl = outs["reduced"]["tags"], outs["full"]["tags"]
+    # Road type (and its smoothing history) sees only thresholded features.
+    np.testing.assert_array_equal(r["road_type"], fl["road_type"])
+    np.testing.assert_array_equal(r["road_type_raw"], fl["road_type_raw"])
+    np.testing.assert_allclose(
+        r["road_type_confidence"], fl["road_type_confidence"], atol=1e-6
+    )
+    # Conditions come from full-resolution brightness/Laplacian — exact.
+    for k in ("cond_night", "cond_day", "cond_congested", "cond_clear", "cond_fog"):
+        np.testing.assert_array_equal(r[k], fl[k], err_msg=k)
+    # Lane fits are untouched by the scene pass.
+    np.testing.assert_array_equal(
+        outs["reduced"]["lane_obs"].left_fit, outs["full"]["lane_obs"].left_fit
+    )
