@@ -234,11 +234,11 @@ def _make_kernel(T: int, D: int, L: int, iou_threshold: float, max_age: int):
         ftlen = jnp.where(dead, 0, ftlen)
         fvcnt = jnp.where(dead, 0, fvcnt)
 
+        # Full-array stores only (lane-sliced VMEM stores are not a proven
+        # Mosaic pattern in this repo; scalars go to SMEM like the ego
+        # kernel's s_out).
         o_id[:] = fid
-        o_bbox[:, 0:1] = fbx1
-        o_bbox[:, 1:2] = fby1
-        o_bbox[:, 2:3] = fbx2
-        o_bbox[:, 3:4] = fby2
+        o_bbox[:] = jnp.concatenate([fbx1, fby1, fbx2, fby2], axis=1)
         o_cls[:] = fcls
         o_conf[:] = fconf
         o_age[:] = fage
@@ -246,8 +246,7 @@ def _make_kernel(T: int, D: int, L: int, iou_threshold: float, max_age: int):
         o_mis[:] = fmis
         o_traj[:] = ftraj
         o_tlen[:] = ftlen
-        o_vel[:, 0:1] = fvelx
-        o_vel[:, 1:2] = fvely
+        o_vel[:] = jnp.concatenate([fvelx, fvely], axis=1)
         o_vcnt[:] = fvcnt
         o_next[0, 0] = next_id + n_birth
         o_match[:] = match
@@ -290,11 +289,12 @@ def tracker_update_pallas(
         jax.ShapeDtypeStruct((T, 1), jnp.int32),  # match
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vmem] * 12 + [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 4,
-        out_specs=tuple([vmem] * 13),
+        in_specs=[vmem] * 12 + [smem] + [vmem] * 4,
+        out_specs=tuple([vmem] * 11 + [smem, vmem]),
         interpret=interpret,
     )(
         col_i(table.track_id),
