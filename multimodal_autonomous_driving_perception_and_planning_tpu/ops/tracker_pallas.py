@@ -48,12 +48,14 @@ from ..types import Detections, TrackTable
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _make_kernel(T: int, D: int, L: int, iou_threshold: float, max_age: int):
+def _make_kernel(T: int, D: int, L: int, iou_threshold: float, max_age: int,
+                 min_hits: int):
     def kernel(
         id_c, id_r, bbox, cls_c, conf_c, age_c, hits_c, mis_c,
         traj, tlen_c, vel, vcnt_c, nid, dT, dcls_r, dconf_r, dvalid_r,
+        hits_r, mis_r, dvalid_c,
         o_id, o_bbox, o_cls, o_conf, o_age, o_hits, o_mis,
-        o_traj, o_tlen, o_vel, o_vcnt, o_next, o_match,
+        o_traj, o_tlen, o_vel, o_vcnt, o_next, o_match, o_order, o_nconf,
     ):
         alive_c = id_c[:] > 0  # (T, 1)
         bx1, by1 = bbox[:, 0:1], bbox[:, 1:2]
@@ -234,6 +236,86 @@ def _make_kernel(T: int, D: int, L: int, iou_threshold: float, max_age: int):
         ftlen = jnp.where(dead, 0, ftlen)
         fvcnt = jnp.where(dead, 0, fvcnt)
 
+        # --- confirmed_order (tracker.py:80-85), fused ----------------------
+        # Needs the NEW track ids in BOTH layouts.  The row layout is
+        # rebuilt from row-layout primitives (no transposes): surviving
+        # ids equal the old id_r, newborn ids are next_id + rank_free, and
+        # the boolean layout conversions (matched/birth per slot as a
+        # (1, T) row) are 0/1 dot_general contractions — exact on the MXU.
+        onesT = jnp.ones((T, 1), jnp.float32)
+        matched_r = (
+            jax.lax.dot_general(
+                jnp.ones((1, D), jnp.float32),
+                M.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.0
+        )  # (1, T): any matched detection per slot
+        alive_r = id_r[:] > 0
+        nhits_r = hits_r[:] + matched_r.astype(jnp.int32)
+        nmis_r = jnp.where(
+            matched_r, 0, mis_r[:] + alive_r.astype(jnp.int32)
+        )
+        # Births in row layout: A2[d, s] = A[s, d] from (D, 1)/(1, T) parts.
+        det_matched_c = (
+            jax.lax.dot_general(
+                M.astype(jnp.float32), onesT,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.0
+        )  # (D, 1)
+        want_c = (dvalid_c[:] > 0) & jnp.logical_not(det_matched_c)
+        dL = (
+            jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+        ).astype(jnp.float32)  # strict lower: [d, d'] = d' < d
+        rank_want_c = jnp.dot(
+            dL, want_c.astype(jnp.float32), preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # (D, 1)
+        free_r = id_r[:] == 0
+        tU = (
+            jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        ).astype(jnp.float32)  # [s', s] = s' < s
+        rank_free_r = jnp.dot(
+            free_r.astype(jnp.float32), tU, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # (1, T)
+        A2 = (
+            want_c
+            & free_r
+            & (rank_want_c == rank_free_r)
+            & (rank_want_c < n_birth)
+        )  # (D, T)
+        birth_r = jnp.any(A2, axis=0, keepdims=True)  # (1, T)
+        fid_r = jnp.where(birth_r, next_id + rank_free_r, id_r[:])
+        fhits_r = jnp.where(birth_r, 1, nhits_r)
+        fmis_r = jnp.where(birth_r, 0, nmis_r)
+        dead_r = (fid_r > 0) & (fmis_r > max_age)
+        fid_r = jnp.where(dead_r, 0, fid_r)
+        fhits_r = jnp.where(dead_r, 0, fhits_r)
+
+        conf_c_mask = (fid > 0) & (fhits >= min_hits)  # (T, 1)
+        conf_r_mask = (fid_r > 0) & (fhits_r >= min_hits)  # (1, T)
+        okey_c = jnp.where(conf_c_mask, fid, big)  # (T, 1)
+        okey_r = jnp.where(conf_r_mask, fid_r, big)  # (1, T)
+        # Stable ascending rank per slot, in ROW layout (rank of slot i =
+        # count of slots i' with a smaller key, index tie-break; ii = lane
+        # index i, jj = sublane index i' here).
+        rank_row = jnp.sum(
+            ((okey_c < okey_r) | ((okey_c == okey_r) & (jj < ii))).astype(jnp.int32),
+            axis=0,
+            keepdims=True,
+        )  # (1, T)
+        # Invert: order[r] = the slot whose rank is r (ranks are a
+        # permutation, so the masked sum selects exactly one index; jj is
+        # the output rank r, ii the candidate slot).
+        order = jnp.sum(
+            jnp.where(rank_row == jj, ii, 0), axis=1, keepdims=True
+        ).astype(jnp.int32)  # (T, 1)
+        n_conf = jnp.sum(conf_c_mask.astype(jnp.int32))
+
         # Full-array stores only (lane-sliced VMEM stores are not a proven
         # Mosaic pattern in this repo; scalars go to SMEM like the ego
         # kernel's s_out).
@@ -250,6 +332,8 @@ def _make_kernel(T: int, D: int, L: int, iou_threshold: float, max_age: int):
         o_vcnt[:] = fvcnt
         o_next[0, 0] = next_id + n_birth
         o_match[:] = match
+        o_order[:] = order
+        o_nconf[0, 0] = n_conf
 
     return kernel
 
@@ -258,17 +342,27 @@ def tracker_update_pallas(
     table: TrackTable,
     dets: Detections,
     cfg: TrackerConfig,
+    min_hits: int = None,
     *,
     interpret: bool = False,
-) -> Tuple[TrackTable, jnp.ndarray]:
+):
     """Drop-in replacement for `tracking.tracker.tracker_update` (same
-    contract, bit-identical results).  `interpret=True` runs through the
-    Pallas interpreter (CPU tests)."""
+    contract, bit-identical results), with `confirmed_order` fused in.
+
+    Returns (new_table, match, order, n_confirmed); ``order``/``n_confirmed``
+    are exactly `tracker.confirmed_order(new_table, min_hits)`.
+    ``min_hits`` defaults to ``cfg.min_hits``.  `interpret=True` runs
+    through the Pallas interpreter (CPU tests).
+    """
     T = table.track_id.shape[0]
     D = dets.bbox.shape[0]
     L = table.trajectory.shape[1] // 2
+    if min_hits is None:
+        min_hits = cfg.min_hits
 
-    kernel = _make_kernel(T, D, L, float(cfg.iou_threshold), int(cfg.max_age))
+    kernel = _make_kernel(
+        T, D, L, float(cfg.iou_threshold), int(cfg.max_age), int(min_hits)
+    )
 
     col_i = lambda x: x.astype(jnp.int32)[:, None]  # noqa: E731
     col_f = lambda x: x.astype(jnp.float32)[:, None]  # noqa: E731
@@ -287,14 +381,16 @@ def tracker_update_pallas(
         jax.ShapeDtypeStruct((T, 1), jnp.int32),  # vel_count
         jax.ShapeDtypeStruct((1, 1), jnp.int32),  # next_id
         jax.ShapeDtypeStruct((T, 1), jnp.int32),  # match
+        jax.ShapeDtypeStruct((T, 1), jnp.int32),  # confirmed order
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # n_confirmed
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vmem] * 12 + [smem] + [vmem] * 4,
-        out_specs=tuple([vmem] * 11 + [smem, vmem]),
+        in_specs=[vmem] * 12 + [smem] + [vmem] * 7,
+        out_specs=tuple([vmem] * 11 + [smem] + [vmem, vmem, smem]),
         interpret=interpret,
     )(
         col_i(table.track_id),
@@ -314,10 +410,13 @@ def tracker_update_pallas(
         dets.class_id.astype(jnp.int32)[None, :],
         dets.confidence.astype(jnp.float32)[None, :],
         dets.valid.astype(jnp.int32)[None, :],
+        table.hits.astype(jnp.int32)[None, :],
+        table.misses.astype(jnp.int32)[None, :],
+        col_i(dets.valid),
     )
     (
         o_id, o_bbox, o_cls, o_conf, o_age, o_hits, o_mis,
-        o_traj, o_tlen, o_vel, o_vcnt, o_next, o_match,
+        o_traj, o_tlen, o_vel, o_vcnt, o_next, o_match, o_order, o_nconf,
     ) = outs
     new_table = TrackTable(
         track_id=o_id[:, 0],
@@ -333,4 +432,4 @@ def tracker_update_pallas(
         vel_count=o_vcnt[:, 0],
         next_id=o_next[0, 0],
     )
-    return new_table, o_match[:, 0]
+    return new_table, o_match[:, 0], o_order[:, 0], o_nconf[0, 0]

@@ -19,7 +19,7 @@ from .config import PipelineConfig
 from .estimation.ego import estimator_step
 from .ops.kalman import make_constant_accel_model
 from .planning.planner import plan
-from .tracking.tracker import confirmed_order, tracker_update
+from .tracking.tracker import confirmed_order, tracker_update, tracker_update_with_order
 from .types import Detections, KalmanState, LaneState, PipelineState, TaggingState, TrackTable
 
 
@@ -87,9 +87,11 @@ def make_pipeline_step(cfg: PipelineConfig):
         else:
             lanes_state, lane_obs, frame_feats = state.lanes, None, None
 
-        # L2: tracking.
-        table, match = tracker_update(state.tracks, dets, cfg.tracker)
-        order, n_confirmed = confirmed_order(table, cfg.tracker.min_hits)
+        # L2: tracking (one fused Pallas kernel on TPU, incl. the
+        # confirmed-order ranking; XLA path + confirmed_order elsewhere).
+        table, match, order, n_confirmed = tracker_update_with_order(
+            state.tracks, dets, cfg.tracker, cfg.tracker.min_hits
+        )
 
         # L2: ego estimation.
         kalman, vstate = estimator_step(

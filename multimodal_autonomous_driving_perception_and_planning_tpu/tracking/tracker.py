@@ -85,6 +85,30 @@ def confirmed_order(table: TrackTable, min_hits: int) -> Tuple[jnp.ndarray, jnp.
     return order, jnp.sum(mask).astype(jnp.int32)
 
 
+def tracker_update_with_order(
+    table: TrackTable, dets: Detections, cfg: TrackerConfig,
+    min_hits: int = None, backend: str | None = None,
+):
+    """`tracker_update` + `confirmed_order` in one call.
+
+    On TPU the whole thing — lifecycle AND the confirmed-order ranking —
+    is the single fused Pallas kernel (`ops.tracker_pallas`); elsewhere it
+    is the XLA path below followed by `confirmed_order`.  Returns
+    (new_table, match, order, n_confirmed).
+    """
+    if min_hits is None:
+        min_hits = cfg.min_hits
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        from ..ops.tracker_pallas import tracker_update_pallas
+
+        return tracker_update_pallas(table, dets, cfg, min_hits)
+    new_table, match = tracker_update(table, dets, cfg, backend=backend)
+    order, n_confirmed = confirmed_order(new_table, min_hits)
+    return new_table, match, order, n_confirmed
+
+
 def tracker_update(
     table: TrackTable, dets: Detections, cfg: TrackerConfig,
     backend: str | None = None,
@@ -106,7 +130,8 @@ def tracker_update(
     if backend == "tpu":
         from ..ops.tracker_pallas import tracker_update_pallas
 
-        return tracker_update_pallas(table, dets, cfg)
+        new_table, match, _, _ = tracker_update_pallas(table, dets, cfg)
+        return new_table, match
     t_cap = table.track_id.shape[0]
     d_cap = dets.bbox.shape[0]
     traj_cap = table.trajectory.shape[1] // 2  # flat interleaved (T, 2*L)

@@ -20,6 +20,7 @@ from multimodal_autonomous_driving_perception_and_planning_tpu.ops.tracker_palla
     tracker_update_pallas,
 )
 from multimodal_autonomous_driving_perception_and_planning_tpu.tracking.tracker import (
+    confirmed_order,
     tracker_update,
 )
 from multimodal_autonomous_driving_perception_and_planning_tpu.types import (
@@ -69,11 +70,16 @@ def test_fused_tracker_matches_xla_stream(t_cap, d_cap):
     for step in range(12):
         dets = _random_dets(rng, d_cap)
         xla, m_x = tracker_update(xla, dets, cfg, backend="cpu")
-        pal, m_p = tracker_update_pallas(pal, dets, cfg, interpret=True)
+        pal, m_p, o_p, n_p = tracker_update_pallas(pal, dets, cfg, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(m_p), np.asarray(m_x), err_msg=f"match step {step}"
         )
         _assert_tables_equal(pal, xla, msg=f"step {step}")
+        o_x, n_x = confirmed_order(xla, cfg.min_hits)
+        np.testing.assert_array_equal(
+            np.asarray(o_p), np.asarray(o_x), err_msg=f"order step {step}"
+        )
+        assert int(n_p) == int(n_x), f"n_confirmed step {step}"
 
 
 def test_fused_tracker_tracks_persist():
@@ -94,7 +100,7 @@ def test_fused_tracker_tracks_persist():
     pal = TrackTable.empty(16, 4)
     for step in range(7):
         xla, _ = tracker_update(xla, dets, cfg, backend="cpu")
-        pal, _ = tracker_update_pallas(pal, dets, cfg, interpret=True)
+        pal, _, _, _ = tracker_update_pallas(pal, dets, cfg, interpret=True)
     _assert_tables_equal(pal, xla)
     assert int(np.asarray(pal.track_id)[0]) == 1
     assert int(np.asarray(pal.hits)[0]) == 7
@@ -121,8 +127,8 @@ def test_fused_tracker_saturated_table():
         valid=jnp.ones(d_cap, bool),
     )
     xla, _ = tracker_update(TrackTable.empty(t_cap, 4), dets, cfg, backend="cpu")
-    pal, _ = tracker_update_pallas(TrackTable.empty(t_cap, 4), dets, cfg,
-                                   interpret=True)
+    pal, _, _, _ = tracker_update_pallas(TrackTable.empty(t_cap, 4), dets, cfg,
+                                         interpret=True)
     _assert_tables_equal(pal, xla)
     assert int(np.asarray(pal.next_id)) == 1 + t_cap
 
@@ -141,13 +147,16 @@ def test_fused_tracker_vmaps():
     tables = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[TrackTable.empty(16, 4) for _ in range(cams)]
     )
-    new_tables, matches = jax.vmap(
+    new_tables, matches, orders, nconfs = jax.vmap(
         lambda t, d: tracker_update_pallas(t, d, cfg, interpret=True)
     )(tables, stack)
     for c in range(cams):
         want, m_want = tracker_update(
             TrackTable.empty(16, 4), det_list[c], cfg, backend="cpu"
         )
+        o_want, n_want = confirmed_order(want, cfg.min_hits)
+        np.testing.assert_array_equal(np.asarray(orders)[c], np.asarray(o_want))
+        assert int(np.asarray(nconfs)[c]) == int(n_want)
         np.testing.assert_array_equal(
             np.asarray(matches)[c], np.asarray(m_want), err_msg=f"cam {c}"
         )

@@ -77,9 +77,16 @@ def check_tracker() -> None:
                 confidence=jnp.asarray(rng.uniform(0.5, 1, d_cap), jnp.float32),
                 valid=jnp.asarray(rng.random(d_cap) < 0.6),
             )
-            a, ma = kernel_step(a, dets)
+            a, ma, oa, na = kernel_step(a, dets)
             b, mb = xla_step(b, dets)
             np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+            from multimodal_autonomous_driving_perception_and_planning_tpu.tracking.tracker import (  # noqa: E501
+                confirmed_order,
+            )
+
+            ob, nb = confirmed_order(b, cfg.min_hits)
+            np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+            assert int(na) == int(nb)
             for f in ("track_id", "bbox", "class_id", "confidence", "age",
                       "hits", "misses", "trajectory", "traj_len", "velocity",
                       "vel_count", "next_id"):
@@ -92,7 +99,7 @@ def check_tracker() -> None:
             lambda x: jnp.stack([x, x]), TrackTable.empty(t_cap, 6)
         )
         stack_d = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), dets)
-        vt, vm = jax.jit(jax.vmap(
+        vt, vm, vo, vn = jax.jit(jax.vmap(
             lambda tb, d: tracker_update_pallas(tb, d, cfg)  # noqa: B023
         ))(stack_t, stack_d)
         np.testing.assert_array_equal(np.asarray(vm)[0], np.asarray(vm)[1])
@@ -200,7 +207,7 @@ def check_scan() -> None:
         simulated_detection_stream,
     )
     from multimodal_autonomous_driving_perception_and_planning_tpu.tracking.tracker import (
-        tracker_update,
+        tracker_update_with_order,
     )
 
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
@@ -213,13 +220,15 @@ def check_scan() -> None:
     run = make_sequence_runner(cfg, donate=False)
     _, outs_kernel = run(initial_state(cfg), outs_inputs := inputs)
 
-    orig = pipeline.tracker_update
-    pipeline.tracker_update = lambda t, d, c: tracker_update(t, d, c, backend="cpu")
+    orig = pipeline.tracker_update_with_order
+    pipeline.tracker_update_with_order = (
+        lambda t, d, c, mh: tracker_update_with_order(t, d, c, mh, backend="cpu")
+    )
     try:
         run_xla = make_sequence_runner(cfg, donate=False)
         _, outs_xla = run_xla(initial_state(cfg), outs_inputs)
     finally:
-        pipeline.tracker_update = orig
+        pipeline.tracker_update_with_order = orig
 
     np.testing.assert_array_equal(
         np.asarray(outs_kernel["track_id"]), np.asarray(outs_xla["track_id"])
