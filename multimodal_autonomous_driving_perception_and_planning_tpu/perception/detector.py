@@ -175,6 +175,7 @@ class ObjectDetector:
         self.mode = mode
         self.frame_count = 0
         self.variables = None
+        self.variant = None
         self._stream_fn = None
 
         if mode == "yolo":

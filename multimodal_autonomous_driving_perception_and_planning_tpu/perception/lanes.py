@@ -111,7 +111,6 @@ def make_scene_features(cfg: PipelineConfig):
     asserted in tests/test_lanes.py and tests/test_reference_diff.py;
     set scene_downsample=1, scene_refine=True for the full pass.
     """
-    h, w = cfg.frame_height, cfg.frame_width
     lc = cfg.lanes
     s = max(1, int(lc.scene_downsample))
 

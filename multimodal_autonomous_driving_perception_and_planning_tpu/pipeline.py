@@ -19,7 +19,7 @@ from .config import PipelineConfig
 from .estimation.ego import estimator_step
 from .ops.kalman import make_constant_accel_model
 from .planning.planner import plan
-from .tracking.tracker import confirmed_order, tracker_update, tracker_update_with_order
+from .tracking.tracker import tracker_update_with_order
 from .types import Detections, KalmanState, LaneState, PipelineState, TaggingState, TrackTable
 
 

@@ -295,15 +295,34 @@ class _JaxBlipBackend:
 
                 self._tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
             else:
-                # No local vocab: resolve via transformers (HF cache).
+                # No local vocab.txt: try other local tokenizer files next
+                # to the archive (tokenizer.json etc., which older exports
+                # told users to copy) before resolving the hub name via
+                # transformers (HF cache) — keeps offline hosts working.
                 from transformers import AutoTokenizer
 
-                hub = (
-                    "Salesforce/blip-image-captioning-base"
-                    if name.endswith(".npz")
+                tok_dir = (
+                    os.path.dirname(name) or "." if name.endswith(".npz")
                     else name
                 )
-                self._tokenizer = AutoTokenizer.from_pretrained(hub)
+                local = None
+                if os.path.isdir(tok_dir) and any(
+                    os.path.exists(os.path.join(tok_dir, f))
+                    for f in ("tokenizer.json", "tokenizer_config.json")
+                ):
+                    try:
+                        local = AutoTokenizer.from_pretrained(tok_dir)
+                    except Exception:
+                        local = None
+                if local is not None:
+                    self._tokenizer = local
+                else:
+                    hub = (
+                        "Salesforce/blip-image-captioning-base"
+                        if name.endswith(".npz")
+                        else name
+                    )
+                    self._tokenizer = AutoTokenizer.from_pretrained(hub)
             self._bcfg = BlipConfig()
             # num_beams > 1 uses the scan beam search proven token-for-token
             # against HF generate (the reference decodes with num_beams=3,

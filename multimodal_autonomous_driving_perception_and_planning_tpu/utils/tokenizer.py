@@ -72,10 +72,14 @@ class WordPieceTokenizer:
         pad_token: str = "[PAD]",
         mask_token: str = "[MASK]",
     ):
-        self.vocab: Dict[str, int] = {}
-        for tok in vocab:
-            if tok not in self.vocab:
-                self.vocab[tok] = len(self.vocab)
+        # Mirror HF BertTokenizer.load_vocab exactly: id = position in the
+        # token sequence (blank/duplicate lines included), duplicate tokens
+        # keep the LAST id in the token->id map, and id->token is rebuilt
+        # from that map (an earlier duplicate's id decodes to [UNK], as in
+        # transformers' ids_to_tokens).  Anything else silently shifts every
+        # subsequent token id vs the model's embedding rows.
+        self._tokens = list(vocab)
+        self.vocab: Dict[str, int] = {t: i for i, t in enumerate(self._tokens)}
         self.inv_vocab = {i: t for t, i in self.vocab.items()}
         self.do_lower_case = do_lower_case
         self.unk_token = unk_token
@@ -89,15 +93,16 @@ class WordPieceTokenizer:
     # -- construction --------------------------------------------------------
     @classmethod
     def from_vocab_file(cls, path: str, **kw) -> "WordPieceTokenizer":
-        """Load a BERT ``vocab.txt`` (one token per line, id = line index)."""
+        """Load a BERT ``vocab.txt`` (one token per line, id = line index —
+        blank lines included, exactly as transformers' load_vocab)."""
         with open(path, encoding="utf-8") as f:
-            vocab = [line.rstrip("\n") for line in f if line.strip("\n") != ""]
+            vocab = [line.rstrip("\n") for line in f.readlines()]
         return cls(vocab, **kw)
 
     def save_vocab(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:
-            for i in range(len(self.inv_vocab)):
-                f.write(self.inv_vocab[i] + "\n")
+            for tok in self._tokens:
+                f.write(tok + "\n")
 
     # -- basic tokenization (transformers BasicTokenizer) --------------------
     def _clean_text(self, text: str) -> str:

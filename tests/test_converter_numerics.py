@@ -394,6 +394,32 @@ def test_wordpiece_tokens_match_transformers(tmp_path):
         assert arr.shape == (1, len(want))
 
 
+def test_wordpiece_blank_and_duplicate_lines_match_transformers(tmp_path):
+    """HF's load_vocab assigns ids by LINE NUMBER — blank and duplicate
+    lines included (duplicates keep the last id in the token->id map).  A
+    loader that skips them silently shifts every subsequent token id vs the
+    model's embedding rows."""
+    from transformers import BertTokenizer
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.tokenizer import (
+        WordPieceTokenizer,
+    )
+
+    vocab = list(_VOCAB)
+    vocab.insert(10, "")  # blank line mid-file
+    vocab.insert(20, "photo")  # duplicate token mid-file
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+    hf = BertTokenizer(str(vocab_file))
+    ours = WordPieceTokenizer.from_vocab_file(str(vocab_file))
+    assert ours.vocab == dict(hf.vocab)
+    for s in _TOKENIZER_SENTENCES:
+        want = hf(s)["input_ids"]
+        got = ours.encode(s)
+        assert got == want, f"{s!r}: {got} != {want}"
+        assert ours.decode(want) == hf.decode(want, skip_special_tokens=True)
+
+
 def test_wordpiece_decode_matches_transformers(tmp_path):
     """decode(skip_special_tokens=True) including HF's tokenization-space
     cleanup ('a , b .' -> 'a, b.')."""

@@ -129,14 +129,8 @@ def check_nms() -> None:
                 lambda b, s: nms_keep_pallas(b, s, 0.45)
             )(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores)))
             classes = np.zeros(k, np.int32)
-            want = np.asarray(nms(
-                jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
-                jnp.asarray(classes), iou_threshold=0.45, score_threshold=0.0,
-                max_det=k, pre_topk=k, class_aware=False, backend="cpu",
-            ).valid)
             # keep mask vs the XLA path's compaction: compare kept sets.
             kept_scores = set(np.round(scores[got], 6).tolist())
-            want_scores = set()
             res = nms(
                 jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
                 jnp.asarray(classes), iou_threshold=0.45, score_threshold=0.0,
