@@ -27,6 +27,7 @@ Run: python benchmarks/suite.py [--quick]
 """
 
 import argparse
+import dataclasses
 import sys
 from pathlib import Path as _Path
 
@@ -519,6 +520,84 @@ def bench_dense_traffic(repeats, num_frames=300, reps=10):
     )
 
 
+def bench_tracker_kernel(repeats, t_cap=128, d_cap=64, reps=512):
+    """Standalone fused-tracker-step microbench (the round-4 kernel): the
+    whole lifecycle — IoU build, association fixpoint, matched updates,
+    trajectory ring, births, deaths, confirmed_order — as ONE Mosaic
+    program (ops/tracker_pallas.py) vs the unfused XLA formulation, each
+    chained ``reps`` steps per dispatch over a drifting dense-grid
+    detection stream (worst-case association load at 128 slots)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.config import (
+        TrackerConfig,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.tracking.tracker import (
+        tracker_update_with_order,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.types import (
+        Detections,
+        TrackTable,
+    )
+
+    cfg = TrackerConfig(max_tracks=t_cap)
+    rng = np.random.default_rng(0)
+    base = np.zeros((d_cap, 4), np.float32)
+    g = int(np.ceil(np.sqrt(d_cap)))
+    gx, gy = np.meshgrid(np.arange(g), np.arange(g))
+    base[:, 0] = gx.reshape(-1)[:d_cap] * 78
+    base[:, 1] = gy.reshape(-1)[:d_cap] * 58
+    base[:, 2] = base[:, 0] + 70
+    base[:, 3] = base[:, 1] + 50
+    drift = rng.normal(0, 1.5, (reps, d_cap, 1)).astype(np.float32)
+    drift4 = jnp.asarray(np.concatenate([drift] * 4, axis=2))  # (reps, D, 4)
+    dets0 = Detections(
+        bbox=jnp.asarray(base),
+        class_id=jnp.zeros((d_cap,), jnp.int32),
+        confidence=jnp.full((d_cap,), 0.9, jnp.float32),
+        valid=jnp.ones((d_cap,), bool),
+    )
+    table0 = TrackTable.empty(t_cap, cfg.trajectory_length)
+
+    def make_fn(backend):
+        def step(carry, dr):
+            table, d = carry
+            dets = dataclasses.replace(dets0, bbox=dets0.bbox + dr + d * 1e-30)
+            nt, match, order, n = tracker_update_with_order(
+                table, dets, cfg, backend=backend
+            )
+            dig = (
+                d
+                + jnp.sum(nt.bbox) * 1e-6
+                + jnp.sum(match).astype(jnp.float32)
+                + jnp.sum(order).astype(jnp.float32)
+                + n.astype(jnp.float32)
+            )
+            return (nt, dig), None
+
+        def fn(nonce, drift4):
+            (_, dig), _ = jax.lax.scan(step, (table0, nonce), drift4)
+            return dig
+
+        return jax.jit(fn)
+
+    floor, _ = measure_dispatch_floor(3)
+    backend = jax.default_backend()
+    best_k, _ = _time_digest(make_fn(backend), drift4, repeats=repeats)
+    best_x, _ = _time_digest(make_fn("cpu"), drift4, repeats=repeats)
+    us_k = max(best_k - floor, 1e-9) / reps * 1e6
+    us_x = max(best_x - floor, 1e-9) / reps * 1e6
+    emit(
+        "tracker_step_us_128slots",
+        round(us_k, 2),
+        "us/step (fused Pallas kernel)",
+        xla_us=round(us_x, 2),
+        slots=t_cap,
+        dets=d_cap,
+        reps=reps,
+        note="full lifecycle incl. confirmed_order; backend="
+        + backend,
+    )
+
+
 def bench_kalman_bank(repeats, num_frames=300, agents=64, reps=20):
     """Opt-in per-agent Kalman smoothing bank over a 300-frame, 64-agent
     track stream: vmapped predict/Joseph-update per slot inside the time
@@ -879,6 +958,7 @@ def main():
     bench_yolo_variants(repeats)
     bench_yolo_e2e(repeats)
     bench_dense_traffic(repeats)
+    bench_tracker_kernel(repeats)
     bench_kalman_bank(repeats)
     bench_multicamera(repeats)
     bench_multicamera_frames(repeats)
