@@ -11,6 +11,11 @@ import sys
 
 
 def main():
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.platform import (
+        apply_platform_env,
+    )
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="AV pipeline dashboard")
     parser.add_argument("--backend", choices=["streamlit", "web", "serve"],
                         default=None)

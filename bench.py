@@ -22,20 +22,85 @@ the only number the reference publishes; see BASELINE.md).
 """
 
 import json
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 REFERENCE_FPS = 45.2  # README.md:141 sample console output
 NUM_FRAMES = 300
 REPS = 20  # scans per dispatch (amortizes the ~35 ms tunnel dispatch floor)
 REPEATS = 10
+DEVICE_PROBE_TIMEOUT_S = 300.0
+
+
+def _probe_device() -> str | None:
+    """Return the default platform, or None if the backend is unreachable.
+
+    The tunnel-attached TPU runtime hangs *indefinitely* inside PJRT client
+    init when the tunnel is down (observed 2026-08-18: >240 s with no error),
+    and that hang is inside a C call no signal can interrupt.  Probing in a
+    subprocess with a hard timeout turns an infinite bench hang into a fast,
+    honest failure.  A healthy backend answers in a few seconds.
+    """
+    try:
+        proc = subprocess.run(
+            # Re-apply JAX_PLATFORMS over the config: this environment's
+            # sitecustomize registers the axon backend with
+            # jax.config.update("jax_platforms", "axon,cpu"), which overrides
+            # the env var — an explicit JAX_PLATFORMS=cpu must still win.
+            [
+                sys.executable,
+                "-c",
+                "import os, jax\n"
+                "p = os.environ.get('JAX_PLATFORMS')\n"
+                "if p: jax.config.update('jax_platforms', p)\n"
+                "print(jax.devices()[0].platform)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=DEVICE_PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    return proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else None
 
 
 def main():
     from pathlib import Path as _P
+
+    platform = _probe_device()
+    if platform is None:
+        print(
+            f"# device backend unreachable after {DEVICE_PROBE_TIMEOUT_S:.0f}s "
+            "probe (TPU tunnel down?) — refusing to hang",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_frames_per_sec_per_chip",
+                    "value": None,
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                    "error": "device backend unreachable "
+                    f"(probe timeout {DEVICE_PROBE_TIMEOUT_S:.0f}s)",
+                }
+            )
+        )
+        sys.exit(1)
+    print(f"# device probe ok: platform={platform}", file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.platform import (
+        apply_platform_env,
+    )
+
+    # See _probe_device: the axon registration overrides the env var.
+    apply_platform_env()
 
     _c = _P.home() / ".cache" / "madpp_jax"
     _c.mkdir(parents=True, exist_ok=True)

@@ -940,6 +940,11 @@ def main():
     args = parser.parse_args()
     repeats = 3 if args.quick else 10
 
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.platform import (
+        apply_platform_env,
+    )
+
+    apply_platform_env()
     _setup_cache()
     print(f"# device: {jax.devices()}", flush=True)
     floor_best, floor_p50 = measure_dispatch_floor(repeats)

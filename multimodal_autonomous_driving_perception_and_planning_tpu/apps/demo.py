@@ -338,6 +338,9 @@ def run_component_test():
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(
         description="Multimodal AV Perception & Planning Demo (TPU-native)"
     )

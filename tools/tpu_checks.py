@@ -242,6 +242,11 @@ def check_scan() -> None:
 
 
 def main() -> int:
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.platform import (
+        apply_platform_env,
+    )
+
+    apply_platform_env()
     _cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "tracker"
     {
