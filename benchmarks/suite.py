@@ -549,18 +549,19 @@ def bench_tracker_kernel(repeats, t_cap=128, d_cap=64, reps=512):
     base[:, 3] = base[:, 1] + 50
     drift = rng.normal(0, 1.5, (reps, d_cap, 1)).astype(np.float32)
     drift4 = jnp.asarray(np.concatenate([drift] * 4, axis=2))  # (reps, D, 4)
-    dets0 = Detections(
-        bbox=jnp.asarray(base),
-        class_id=jnp.zeros((d_cap,), jnp.int32),
-        confidence=jnp.full((d_cap,), 0.9, jnp.float32),
-        valid=jnp.ones((d_cap,), bool),
-    )
-    table0 = TrackTable.empty(t_cap, cfg.trajectory_length)
 
     def make_fn(backend):
+        # CLAUDE.md rule 1: never close over a jax device array in a jitted
+        # function (per-call transferred constant on the tunnel runtime).
+        # Constants stay numpy and materialize inside the trace.
         def step(carry, dr):
             table, d = carry
-            dets = dataclasses.replace(dets0, bbox=dets0.bbox + dr + d * 1e-30)
+            dets = Detections(
+                bbox=jnp.asarray(base) + dr + d * 1e-30,
+                class_id=jnp.zeros((d_cap,), jnp.int32),
+                confidence=jnp.full((d_cap,), 0.9, jnp.float32),
+                valid=jnp.ones((d_cap,), bool),
+            )
             nt, match, order, n = tracker_update_with_order(
                 table, dets, cfg, backend=backend
             )
@@ -574,6 +575,7 @@ def bench_tracker_kernel(repeats, t_cap=128, d_cap=64, reps=512):
             return (nt, dig), None
 
         def fn(nonce, drift4):
+            table0 = TrackTable.empty(t_cap, cfg.trajectory_length)
             (_, dig), _ = jax.lax.scan(step, (table0, nonce), drift4)
             return dig
 

@@ -105,21 +105,36 @@ def estimator_step(
 ) -> Tuple[KalmanState, VehicleState]:
     """predict + optional update, replicating vehicle_state.py:139-156.
 
-    On TPU the whole step dispatches (at trace time) to one fused Pallas
-    kernel (`ops.kalman_pallas`) — ~30 tiny 6x6 XLA ops collapse into a
-    single Mosaic program; the parity budget is unchanged (PARITY.md).
-    ``backend`` overrides the `jax.default_backend()` probe.
+    On TPU the whole step dispatches (at lowering time, `ops.dispatch`)
+    to one fused Pallas kernel (`ops.kalman_pallas`) — ~30 tiny 6x6 XLA
+    ops collapse into a single Mosaic program; the parity budget is
+    unchanged (PARITY.md).  ``backend`` overrides the platform choice at
+    trace time for oracle comparisons.
 
     Args:
       measurement: (4,) [x, y, vx, vy]; ignored when ``has_measurement`` is
         False (the reference's measurement-skip branch).
     """
-    import jax
+    from ..ops.dispatch import kernel_or_xla
 
-    if backend is None:
-        backend = jax.default_backend()
-    if backend == "tpu":
-        return _estimator_step_fused(ks, model, measurement, has_measurement, cfg)
+    return kernel_or_xla(
+        lambda k, m, h: _estimator_step_fused(k, model, m, h, cfg),
+        lambda k, m, h: _estimator_step_xla(k, model, m, h, cfg),
+        ks,
+        measurement,
+        has_measurement,
+        backend=backend,
+    )
+
+
+def _estimator_step_xla(
+    ks: KalmanState,
+    model: KalmanModel,
+    measurement: jnp.ndarray,
+    has_measurement,
+    cfg: EstimatorConfig,
+) -> Tuple[KalmanState, VehicleState]:
+    """The XLA estimator step (CPU path and equivalence oracle)."""
     # predict() — advances time, extracts state for its prev_* side effects.
     x, P = kalman_predict(model, ks.x, ks.P)
     time = ks.time + cfg.dt

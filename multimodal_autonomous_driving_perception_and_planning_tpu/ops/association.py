@@ -37,13 +37,13 @@ def greedy_associate(
 ) -> jnp.ndarray:
     """Greedy max-IoU matching.
 
-    On TPU this dispatches (at trace time) to the Pallas kernel in
-    `association_pallas` — the same fixpoint run inside one Mosaic kernel,
-    ~3x faster because each round is a VMEM-resident branch instead of an
-    XLA while-iteration with condition sync.  Everywhere else (CPU tests,
-    interpret runs) the XLA formulation below executes.  `backend`
-    overrides the `jax.default_backend()` probe ("tpu"/"cpu") for callers
-    that jit for a non-default device.
+    On TPU this dispatches (at lowering time, `ops.dispatch`) to the
+    Pallas kernel in `association_pallas` — the same fixpoint run inside
+    one Mosaic kernel, ~3x faster because each round is a VMEM-resident
+    branch instead of an XLA while-iteration with condition sync.
+    Everywhere else (CPU tests, interpret runs) the XLA formulation below
+    executes.  `backend` overrides the platform choice at trace time
+    ("tpu"/"cpu") for oracle comparisons that pin a formulation.
 
     Args:
       iou: (T, D) matrix; entries for invalid rows/cols must already be -1
@@ -58,12 +58,22 @@ def greedy_associate(
     Returns:
       match: (T,) int32, matched detection index per row, -1 if unmatched.
     """
-    if backend is None:
-        backend = jax.default_backend()
-    if backend == "tpu":
-        from .association_pallas import greedy_associate_pallas
+    from .association_pallas import greedy_associate_pallas
+    from .dispatch import kernel_or_xla
 
-        return greedy_associate_pallas(iou, row_rank, iou_threshold)
+    return kernel_or_xla(
+        lambda i, r: greedy_associate_pallas(i, r, iou_threshold),
+        lambda i, r: _greedy_associate_xla(i, r, iou_threshold),
+        iou,
+        row_rank,
+        backend=backend,
+    )
+
+
+def _greedy_associate_xla(
+    iou: jnp.ndarray, row_rank: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """The XLA mutual-max fixpoint (CPU path and equivalence oracle)."""
     T, D = iou.shape
     det_idx = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
     key = row_rank[:, None] * D + det_idx  # (T, D) tie-break, asc = earlier

@@ -29,6 +29,41 @@ class NMSResult(NamedTuple):
     valid: jnp.ndarray  # (max_det,) bool
 
 
+def nms_keep_xla(
+    iou_boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """Greedy keep mask as an XLA suppression fixpoint.
+
+    Candidates must already be score-descending with suppressed/filtered
+    entries zeroed (``alive = scores > 0``).  This is the CPU path inside
+    :func:`nms` and the on-device oracle for the Mosaic kernel
+    (`nms_pallas.nms_keep_pallas`) — tools/tpu_checks.py compares the two
+    keep masks bit-for-bit on the real TPU lowering.
+    """
+    k = scores.shape[0]
+    alive = scores > 0
+    iou = pairwise_iou(iou_boxes, iou_boxes)  # (k, k)
+    rng_k = jnp.arange(k)
+    S = (iou > iou_threshold) & (rng_k[:, None] < rng_k[None, :])  # (k, k)
+
+    def f(keep):
+        return alive & jnp.logical_not(jnp.any(S & keep[:, None], axis=0))
+
+    def cond(carry):
+        keep, nxt, it = carry
+        return jnp.any(keep != nxt) & (it < k)
+
+    def body(carry):
+        _, keep, it = carry
+        return keep, f(keep), it + 1
+
+    keep0 = alive
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (keep0, f(keep0), jnp.asarray(0, jnp.int32))
+    )
+    return keep
+
+
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -43,12 +78,16 @@ def nms(
 ) -> NMSResult:
     """Greedy NMS over an (N, 4) candidate set.
 
-    On TPU the suppression fixpoint dispatches (at trace time) to the
-    Pallas kernel in `nms_pallas` — bit-identical keep decisions, but the
-    data-dependent loop is opaque to XLA, which kills the >35-minute
-    compile the XLA while_loop triggered against the yolov8s/m towers
-    (ANALYSIS.md §2).  ``backend`` overrides the `jax.default_backend()`
-    probe for callers that jit for a non-default device.
+    On TPU the suppression fixpoint dispatches (at lowering time,
+    `ops.dispatch`) to the Pallas kernel in `nms_pallas` — bit-identical
+    keep decisions, but the data-dependent loop is opaque to XLA, which
+    kills the >35-minute compile the XLA while_loop triggered against the
+    yolov8s/m towers (ANALYSIS.md §2).  The kernel route applies for
+    k <= 512: it holds two (k, k) f32 buffers simultaneously VMEM-resident
+    (2 MB each at k=512; k=1024 would need >8 MB plus operands and has
+    never been validated on hardware), so larger pools keep the XLA
+    fixpoint.  ``backend`` overrides the platform choice at trace time for
+    oracle comparisons.
 
     Args:
       boxes: (N, 4) xyxy.
@@ -57,8 +96,6 @@ def nms(
       class_aware: offset boxes per class so suppression never crosses
         classes (ultralytics' ``c = x[:, 5:6] * max_wh`` trick).
     """
-    if backend is None:
-        backend = jax.default_backend()
     scores = jnp.where(scores > score_threshold, scores, 0.0)
 
     k = min(pre_topk, boxes.shape[0])
@@ -82,30 +119,22 @@ def nms(
     # round), reaching the exact sequential-greedy result in ~chain-depth
     # rounds instead of a k-iteration serial loop; each round is one
     # (k x k) masked any-reduction on the VPU.
-    if backend == "tpu":
+    def _keep_kernel(iou_boxes, top_scores):
         from .nms_pallas import nms_keep_pallas
 
-        keep = nms_keep_pallas(iou_boxes, top_scores, iou_threshold)
-    else:
-        iou = pairwise_iou(iou_boxes, iou_boxes)  # (k, k)
-        rng_k = jnp.arange(k)
-        S = (iou > iou_threshold) & (rng_k[:, None] < rng_k[None, :])  # (k, k)
+        return nms_keep_pallas(iou_boxes, top_scores, iou_threshold)
 
-        def f(keep):
-            return alive & jnp.logical_not(jnp.any(S & keep[:, None], axis=0))
+    def _keep_xla(iou_boxes, top_scores):
+        return nms_keep_xla(iou_boxes, top_scores, iou_threshold)
 
-        def cond(carry):
-            keep, nxt, it = carry
-            return jnp.any(keep != nxt) & (it < k)
+    if k <= 512:
+        from .dispatch import kernel_or_xla
 
-        def body(carry):
-            _, keep, it = carry
-            return keep, f(keep), it + 1
-
-        keep0 = alive
-        _, keep, _ = jax.lax.while_loop(
-            cond, body, (keep0, f(keep0), jnp.asarray(0, jnp.int32))
+        keep = kernel_or_xla(
+            _keep_kernel, _keep_xla, iou_boxes, top_scores, backend=backend
         )
+    else:
+        keep = _keep_xla(iou_boxes, top_scores)
 
     # Compact the survivors (score order preserved) into max_det slots.
     kept_scores = jnp.where(keep, top_scores, -1.0)

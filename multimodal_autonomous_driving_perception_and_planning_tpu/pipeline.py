@@ -46,7 +46,7 @@ def detections_from_arrays(arrs: Dict[str, Any]) -> Detections:
     )
 
 
-def make_pipeline_step(cfg: PipelineConfig):
+def make_pipeline_step(cfg: PipelineConfig, backend: str | None = None):
     """Build the per-frame step function.
 
     Inputs per frame (all fixed-shape):
@@ -54,6 +54,11 @@ def make_pipeline_step(cfg: PipelineConfig):
       ego_measurement: (4,) [x, y, vx, vy]
       frame: optional (H, W, 3) image (enables lane detection + scene
         features; wired in by perception/lanes and tagging stages)
+
+    ``backend``: None (default) selects kernel-vs-XLA formulations at
+    lowering time (`ops.dispatch`); "tpu"/"cpu" pins one at trace time —
+    multi-platform AOT export pins "cpu" because Pallas calls cannot be
+    lowered for non-TPU platforms (utils/export.py).
 
     Outputs: dict of per-frame results (stacked over time under scan).
     """
@@ -74,7 +79,7 @@ def make_pipeline_step(cfg: PipelineConfig):
     if cfg.enable_tagging:
         from .tagging.rules import make_tagging_step
 
-        tagging_step = make_tagging_step(cfg)
+        tagging_step = make_tagging_step(cfg, backend=backend)
 
     def step(state: PipelineState, inputs: Dict[str, Any]):
         dets = inputs["detections"]
@@ -90,7 +95,8 @@ def make_pipeline_step(cfg: PipelineConfig):
         # L2: tracking (one fused Pallas kernel on TPU, incl. the
         # confirmed-order ranking; XLA path + confirmed_order elsewhere).
         table, match, order, n_confirmed = tracker_update_with_order(
-            state.tracks, dets, cfg.tracker, cfg.tracker.min_hits
+            state.tracks, dets, cfg.tracker, cfg.tracker.min_hits,
+            backend=backend,
         )
 
         # L2: ego estimation.
@@ -100,6 +106,7 @@ def make_pipeline_step(cfg: PipelineConfig):
             inputs["ego_measurement"].astype(jnp.float32),
             inputs.get("has_measurement", jnp.asarray(True)),
             cfg.estimator,
+            backend=backend,
         )
 
         # L3: planning.
@@ -237,7 +244,9 @@ def unpack_tree(packed, spec):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def make_sequence_runner(cfg: PipelineConfig, donate: bool = True):
+def make_sequence_runner(
+    cfg: PipelineConfig, donate: bool = True, backend: str | None = None
+):
     """Build a jitted runner that scans the pipeline over a whole sequence.
 
     ``inputs`` is a dict of time-stacked arrays: detections (T, D, ...) as
@@ -248,7 +257,7 @@ def make_sequence_runner(cfg: PipelineConfig, donate: bool = True):
     the same structure as `make_pipeline_step`'s output with a leading
     time axis.
     """
-    step = make_pipeline_step(cfg)
+    step = make_pipeline_step(cfg, backend=backend)
     spec_cell: list = []
 
     def body(carry, xs):

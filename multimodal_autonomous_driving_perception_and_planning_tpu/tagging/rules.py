@@ -639,10 +639,18 @@ def make_tagging_step(cfg: PipelineConfig, backend: str = None,
         }
         return new_state, tags
 
-    # ---------------- fused-kernel dispatch (TPU, detections mode) -----
+    # ---------------- fused-kernel dispatch -----------------------------
+    # backend=None -> lowering-time platform choice (ops.dispatch): the
+    # fused kernel lowers for TPU, the XLA formulation above for anything
+    # else — so AOT exports lowered for TPU from a CPU host still contain
+    # the kernel.  Explicit backend pins a formulation at trace time
+    # (oracle comparisons); interpret runs the kernel via the Pallas
+    # interpreter on CPU (tests).
     if backend is None:
-        backend = jax.default_backend()
-    if backend != "tpu" and not interpret:
+        import os
+
+        backend = os.environ.get("MADPP_DISPATCH_BACKEND") or None
+    if backend is not None and backend != "tpu" and not interpret:
         return tagging_step
 
     from ..ops.tagging_pallas import SF, SI, make_fused_tagging_step
@@ -773,4 +781,30 @@ def make_tagging_step(cfg: PipelineConfig, backend: str = None,
         }
         return new_state, tags
 
-    return tagging_step_pallas
+    if backend == "tpu" or interpret:
+        return tagging_step_pallas
+
+    # backend=None: choose at lowering time.  lane_obs/frame_feats
+    # None-ness is static per call site; mixed availability falls back to
+    # the XLA path inside tagging_step_pallas (never happens in the
+    # pipeline).
+    from ..ops.dispatch import kernel_or_xla
+
+    def tagging_step_dispatch(
+        state, dets, table, confirmed, n_confirmed, vstate,
+        lane_obs=None, frame_feats=None,
+    ):
+        if (lane_obs is None) != (frame_feats is None):
+            return tagging_step(
+                state, dets, table, confirmed, n_confirmed, vstate,
+                lane_obs, frame_feats,
+            )
+        return kernel_or_xla(
+            tagging_step_pallas,
+            tagging_step,
+            state, dets, table, confirmed, n_confirmed, vstate,
+            lane_obs, frame_feats,
+            backend=None,
+        )
+
+    return tagging_step_dispatch

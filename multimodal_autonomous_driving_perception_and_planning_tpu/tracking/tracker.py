@@ -92,21 +92,28 @@ def tracker_update_with_order(
     """`tracker_update` + `confirmed_order` in one call.
 
     On TPU the whole thing — lifecycle AND the confirmed-order ranking —
-    is the single fused Pallas kernel (`ops.tracker_pallas`); elsewhere it
-    is the XLA path below followed by `confirmed_order`.  Returns
-    (new_table, match, order, n_confirmed).
+    is the single fused Pallas kernel (`ops.tracker_pallas`), selected at
+    lowering time (`ops.dispatch`) so AOT exports lowered for TPU from any
+    host contain it; elsewhere it is the XLA path below followed by
+    `confirmed_order`.  Returns (new_table, match, order, n_confirmed).
     """
     if min_hits is None:
         min_hits = cfg.min_hits
-    if backend is None:
-        backend = jax.default_backend()
-    if backend == "tpu":
-        from ..ops.tracker_pallas import tracker_update_pallas
+    from ..ops.dispatch import kernel_or_xla
+    from ..ops.tracker_pallas import tracker_update_pallas
 
-        return tracker_update_pallas(table, dets, cfg, min_hits)
-    new_table, match = tracker_update(table, dets, cfg, backend=backend)
-    order, n_confirmed = confirmed_order(new_table, min_hits)
-    return new_table, match, order, n_confirmed
+    def _xla(table, dets):
+        new_table, match = _tracker_update_xla(table, dets, cfg, "cpu")
+        order, n_confirmed = confirmed_order(new_table, min_hits)
+        return new_table, match, order, n_confirmed
+
+    return kernel_or_xla(
+        lambda t, d: tracker_update_pallas(t, d, cfg, min_hits),
+        _xla,
+        table,
+        dets,
+        backend=backend,
+    )
 
 
 def tracker_update(
@@ -118,20 +125,39 @@ def tracker_update(
     Returns the new table and the per-slot matched-detection index
     (-1 where unmatched), which downstream stages can use for diagnostics.
 
-    On TPU the whole step dispatches (at trace time) to one fused Pallas
-    kernel (`ops.tracker_pallas`) — IoU build, association fixpoint,
-    matched updates, trajectory ring, births, deaths in a single Mosaic
-    program; bit-identical to this XLA formulation (fuzzed in
-    tests/test_tracker_pallas.py).  The XLA path below remains the CPU/
-    test path and the equivalence oracle.
+    On TPU the whole step dispatches (at lowering time, `ops.dispatch`)
+    to one fused Pallas kernel (`ops.tracker_pallas`) — IoU build,
+    association fixpoint, matched updates, trajectory ring, births,
+    deaths in a single Mosaic program; bit-identical to this XLA
+    formulation (fuzzed in tests/test_tracker_pallas.py).  The XLA path
+    (`_tracker_update_xla`) remains the CPU/test path and the
+    equivalence oracle.
     """
-    if backend is None:
-        backend = jax.default_backend()
-    if backend == "tpu":
-        from ..ops.tracker_pallas import tracker_update_pallas
+    from ..ops.dispatch import kernel_or_xla
+    from ..ops.tracker_pallas import tracker_update_pallas
 
+    def _kernel(table, dets):
         new_table, match, _, _ = tracker_update_pallas(table, dets, cfg)
         return new_table, match
+
+    return kernel_or_xla(
+        _kernel,
+        lambda t, d: _tracker_update_xla(t, d, cfg, "cpu"),
+        table,
+        dets,
+        backend=backend,
+    )
+
+
+def _tracker_update_xla(
+    table: TrackTable, dets: Detections, cfg: TrackerConfig, backend: str
+) -> Tuple[TrackTable, jnp.ndarray]:
+    """The XLA tracker step (CPU path and equivalence oracle).
+
+    ``backend`` is forwarded to `greedy_associate` so a pinned-XLA caller
+    (oracle comparisons, kernel-vs-XLA benchmarks) really measures the
+    pure XLA formulation, association included.
+    """
     t_cap = table.track_id.shape[0]
     d_cap = dets.bbox.shape[0]
     traj_cap = table.trajectory.shape[1] // 2  # flat interleaved (T, 2*L)
@@ -140,7 +166,9 @@ def tracker_update(
     iou = pairwise_iou(table.bbox, dets.bbox)
     valid_pair = table.alive[:, None] & dets.valid[None, :]
     iou = jnp.where(valid_pair, iou, -1.0)
-    match = greedy_associate(iou, id_rank(table), cfg.iou_threshold)  # (T,)
+    match = greedy_associate(
+        iou, id_rank(table), cfg.iou_threshold, backend=backend
+    )  # (T,)
     matched = match >= 0
     safe = jnp.where(matched, match, 0)
 

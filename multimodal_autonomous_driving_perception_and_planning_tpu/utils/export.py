@@ -45,9 +45,11 @@ def example_sequence_inputs(cfg: PipelineConfig, num_frames: int) -> Dict[str, A
     return inputs
 
 
-def _flat_runner(cfg: PipelineConfig, num_frames: int):
+def _flat_runner(
+    cfg: PipelineConfig, num_frames: int, backend: str | None = None
+):
     """(flat_fn, example_leaves, in_tree, out_tree) for the scan runner."""
-    run = make_sequence_runner(cfg, donate=False)
+    run = make_sequence_runner(cfg, donate=False, backend=backend)
     state = initial_state(cfg)
     inputs = example_sequence_inputs(cfg, num_frames)
     example_leaves, in_tree = jax.tree_util.tree_flatten((state, inputs))
@@ -73,10 +75,20 @@ def export_sequence_runner(
     ``platforms`` selects the lowering targets baked into the artifact
     (lowering needs no physical device; a TPU-targeted artifact can be
     produced on a CPU-only host).
+
+    A TPU-only artifact carries the fused Pallas kernels (selected at
+    lowering time, `ops.dispatch` — regardless of the exporting host's
+    platform).  A multi-platform artifact pins the portable XLA
+    formulations instead: JAX cannot lower a Pallas TPU call for non-TPU
+    platforms, so one program body must serve every target.  The serving
+    tier (apps/serve.py) exports single-platform and therefore always
+    gets the kernels.
     """
     from jax import export as jexport
 
-    flat_fn, example_leaves, _, _ = _flat_runner(cfg, num_frames)
+    platforms = tuple(platforms)
+    backend = None if platforms == ("tpu",) else "cpu"
+    flat_fn, example_leaves, _, _ = _flat_runner(cfg, num_frames, backend)
     specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in example_leaves]
     exported = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(*specs)
     return exported.serialize()

@@ -24,6 +24,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Pin the kernel-vs-XLA dispatch to the XLA formulation (what a CPU
+# lowering would select anyway): lax.platform_dependent stages BOTH
+# branches into every jaxpr, and tracing the Mosaic kernels that can never
+# lower here measurably slows the suite.  Tests that cover the
+# lowering-time dispatch itself (AOT export kernel-presence) remove this
+# with monkeypatch.delenv.
+os.environ.setdefault("MADPP_DISPATCH_BACKEND", "cpu")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -186,3 +186,25 @@ def test_aot_export_tpu_lowering_from_cpu_host():
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
     data = export_sequence_runner(cfg, 4, platforms=("tpu", "cpu"))
     assert isinstance(data, (bytes, bytearray)) and len(data) > 10_000
+
+
+def test_aot_export_tpu_only_contains_fused_kernels(monkeypatch):
+    """A TPU-only artifact exported from a CPU host must carry the Mosaic
+    kernels (lowering-time dispatch, ops.dispatch) — the serving tier's
+    performance must not depend on which host produced the artifact."""
+    monkeypatch.delenv("MADPP_DISPATCH_BACKEND", raising=False)
+    from jax import export as jexport
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.export import (
+        export_sequence_runner,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    data = export_sequence_runner(cfg, 4, platforms=("tpu",))
+    module = jexport.deserialize(data).mlir_module()
+    assert "tpu_custom_call" in module or "mosaic" in module.lower(), (
+        "TPU-only artifact is missing the Pallas kernels"
+    )

@@ -111,7 +111,9 @@ def check_nms() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from multimodal_autonomous_driving_perception_and_planning_tpu.ops.nms import nms
+    from multimodal_autonomous_driving_perception_and_planning_tpu.ops.nms import (
+        nms_keep_xla,
+    )
     from multimodal_autonomous_driving_perception_and_planning_tpu.ops.nms_pallas import (
         nms_keep_pallas,
     )
@@ -125,21 +127,20 @@ def check_nms() -> None:
             h = np.round(rng.uniform(20, 120, k) / 10) * 10
             boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
             scores = np.sort(rng.uniform(0, 1, k).astype(np.float32))[::-1].copy()
+            bj = jnp.asarray(boxes, jnp.float32)
+            sj = jnp.asarray(scores)
             got = np.asarray(jax.jit(
                 lambda b, s: nms_keep_pallas(b, s, 0.45)
-            )(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores)))
-            classes = np.zeros(k, np.int32)
-            # keep mask vs the XLA path's compaction: compare kept sets.
-            kept_scores = set(np.round(scores[got], 6).tolist())
-            res = nms(
-                jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
-                jnp.asarray(classes), iou_threshold=0.45, score_threshold=0.0,
-                max_det=k, pre_topk=k, class_aware=False, backend="cpu",
-            )
-            want_scores = set(
-                np.round(np.asarray(res.scores)[np.asarray(res.valid)], 6).tolist()
-            )
-            assert kept_scores == want_scores, (k, trial)
+            )(bj, sj))
+            # Bit-for-bit keep-mask equality vs the XLA fixpoint executed
+            # on the same device with the same f32 IoU math — a set of
+            # rounded kept scores would drop multiplicity/position and
+            # could false-pass exactly the tie-break divergences the
+            # quantized boxes are built to provoke.
+            want = np.asarray(jax.jit(
+                lambda b, s: nms_keep_xla(b, s, 0.45)
+            )(bj, sj))
+            np.testing.assert_array_equal(got, want, err_msg=f"k={k} trial={trial}")
         print(f"nms k={k} ok")
     # vmap lowering (batched detection frontend).
     B = 4
@@ -241,6 +242,32 @@ def check_scan() -> None:
     print("scan ok: 300-frame track ids/match/bbox bit-identical, kernel vs XLA")
 
 
+def check_dispatch() -> None:
+    """Lowering-time dispatch sanity on the real runtime: a default-backend
+    jit of a kernel_or_xla op must lower to the Mosaic kernel (the tunnel
+    backend's lowering platform must be "tpu" for ops.dispatch's
+    platform_dependent to select the kernels).  Runs in seconds; run it
+    FIRST after any dispatch-layer change."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.ops.association import (
+        greedy_associate,
+    )
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    iou = jnp.zeros((64, 16), jnp.float32)
+    rank = jnp.zeros((64,), jnp.int32)
+    hlo = jax.jit(lambda i, r: greedy_associate(i, r, 0.3)).lower(iou, rank)
+    text = hlo.as_text()
+    assert "tpu_custom_call" in text or "mosaic" in text.lower(), (
+        "default-backend lowering did NOT select the Mosaic kernel — "
+        "the lowering platform is not 'tpu'; ops/dispatch.py needs an "
+        "explicit branch for it"
+    )
+    print("dispatch ok: default lowering selects the Mosaic kernel")
+
+
 def main() -> int:
     from multimodal_autonomous_driving_perception_and_planning_tpu.utils.platform import (
         apply_platform_env,
@@ -250,6 +277,7 @@ def main() -> int:
     _cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "tracker"
     {
+        "dispatch": check_dispatch,
         "tracker": check_tracker,
         "nms": check_nms,
         "yolos": lambda: check_yolo_variant("s"),
