@@ -42,7 +42,7 @@ _PAGE = """<!DOCTYPE html>
 <h2>Multimodal AV Perception &amp; Planning — TPU Pipeline Dashboard</h2>
 <div class="card">
   <div id="progress"><div id="bar"></div></div>
-  <div><span id="ready">0</span> / {total} frames processed</div>
+  <div><span id="ready">0</span> / <span id="total">{total}</span> frames processed</div>
   <input type="range" id="slider" min="0" max="0" value="0">
   <div>Frame <span id="fidx">0</span></div>
 </div>
@@ -73,6 +73,7 @@ slider.oninput = () => update(slider.value);
 function poll() {
   fetch('/status').then(r => r.json()).then(d => {
     document.getElementById('ready').textContent = d.ready;
+    document.getElementById('total').textContent = d.total;
     document.getElementById('bar').style.width = (100 * d.ready / d.total) + '%';
     if (d.ready > 0) {
       slider.max = d.ready - 1;
@@ -130,16 +131,40 @@ class DashboardData:
     def wait(self, timeout: Optional[float] = None) -> bool:
         return self._done.wait(timeout)
 
+    # Tagger reads/writes share _lock: the worker thread mutates the
+    # AutoTagger (ingest_device_tags) while handler threads iterate its
+    # dicts — unguarded, get_tag_statistics can raise "dictionary changed
+    # size during iteration" mid-processing.
+    def ingest_tags(self, device_tags, n: int) -> None:
+        with self._lock:
+            self.tagger.ingest_device_tags(device_tags, n)
 
-def _render_chunk(cfg, frames, dets, outs, start, bev, overlay, tagger):
+    def stats_json(self) -> bytes:
+        with self._lock:
+            stats = self.tagger.get_tag_statistics() if self.tagger else {}
+            return json.dumps(stats).encode()
+
+    def search_json(self, query: str) -> bytes:
+        with self._lock:
+            hits = (
+                [ft.frame_idx for ft in self.tagger.search_by_tag(query)]
+                if self.tagger
+                else []
+            )
+        return json.dumps({"query": query, "frames": hits}).encode()
+
+
+def _render_chunk(cfg, frames, dets, outs, start, bev, overlay, data):
     """Host-side rendering of one completed chunk; returns the per-frame
-    jpeg/tags/state lists."""
+    jpeg/tags/state lists.  ``frames`` is the UNPADDED slice — scan outputs
+    beyond its length (tail-chunk padding) are ignored."""
     import cv2
 
     from ..host import extract_frame
 
+    tagger = data.tagger
     n = frames.shape[0]
-    tagger.ingest_device_tags(outs["tags"], n)
+    data.ingest_tags(outs["tags"], n)
     jpegs, tags_list, states = [], [], []
     for f in range(n):
         res = extract_frame(outs, dets, f)
@@ -210,17 +235,19 @@ def process_into(
             )
             num_frames = min(num_frames, loader.total_frames)
             all_frames = loader.load_frames(num_frames)
+            dt = loader.dt  # real clip rate, like apps/demo.py — not 1/30
             loader.release()
             src_name = video_path
         else:
             gen = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height)
             all_frames = gen.generate_frames(num_frames)
+            dt = 1.0 / 30.0
             src_name = "synthetic"
         data.total = num_frames
 
         runner = make_sequence_runner(cfg, donate=False)
         state = initial_state(cfg)
-        tagger = AutoTagger(video_path=src_name, fps=30.0)
+        tagger = AutoTagger(video_path=src_name, fps=1.0 / dt)
         data.tagger = tagger
         bev = BEVRenderer(cfg.bev)
         overlay = OverlayRenderer()
@@ -229,27 +256,40 @@ def process_into(
         while start < num_frames:
             n = min(chunk, num_frames - start)
             frames = all_frames[start : start + n]
+            # Every scan runs at the full ``chunk`` shape: the short tail
+            # is padded (last frame repeated) so exactly ONE XLA program is
+            # compiled — a second program shape costs minutes cold on this
+            # runtime (runtime/stream.py does the same).  Only the final
+            # chunk can be short, so the padded steps never pollute a later
+            # chunk's carried state; outputs beyond n are dropped by
+            # _render_chunk/ingest.
             dets = simulated_detection_stream(
-                n,
+                chunk,
                 height=cfg.frame_height,
                 width=cfg.frame_width,
                 capacity=cfg.detector.max_detections,
                 start_frame_count=start + 1,
             )
-            ego = ego_motion_stream(start + n, dt=1 / 30.0, seed=0)[start:]
+            ego = ego_motion_stream(start + chunk, dt=dt, seed=0)[start:]
             inputs = {k: jnp.asarray(v) for k, v in dets.items()}
             inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
             if use_frames:
+                fpad = frames
+                if n < chunk:
+                    fpad = np.concatenate(
+                        [frames, np.repeat(frames[-1:], chunk - n, axis=0)]
+                    )
                 inputs["frame"] = jnp.asarray(
-                    np.ascontiguousarray(frames, dtype=np.uint8)
+                    np.ascontiguousarray(fpad, dtype=np.uint8)
                 )
             state, outs = runner(state, inputs)
             outs = jax.device_get(outs)
             data.append_chunk(
-                *_render_chunk(cfg, frames, dets, outs, start, bev, overlay, tagger)
+                *_render_chunk(cfg, frames, dets, outs, start, bev, overlay, data)
             )
             start += n
-        tagger.finalize()
+        with data._lock:
+            tagger.finalize()
     except Exception as e:  # surface in /status instead of dying silently
         data.error = f"{type(e).__name__}: {e}"
         raise
@@ -280,6 +320,15 @@ def make_handler(data: DashboardData):
             self.end_headers()
             self.wfile.write(body)
 
+        def _frame_index(self, q, n: int) -> Optional[int]:
+            """Clamped ?i= value, or None (a 400 was sent) if non-numeric."""
+            try:
+                i = int(q.get("i", ["0"])[0])
+            except ValueError:
+                self._send(b"bad frame index", "text/plain", 400)
+                return None
+            return min(max(i, 0), n - 1)
+
         def do_GET(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
@@ -297,13 +346,17 @@ def make_handler(data: DashboardData):
                 if n == 0:
                     self._send(b"processing", "text/plain", 202)
                     return
-                i = min(max(int(q.get("i", ["0"])[0]), 0), n - 1)
+                i = self._frame_index(q, n)
+                if i is None:
+                    return
                 self._send(data.frames_jpeg[i], "image/jpeg")
             elif url.path == "/tags":
                 if n == 0:
                     self._send(b"{}", "application/json", 202)
                     return
-                i = min(max(int(q.get("i", ["0"])[0]), 0), n - 1)
+                i = self._frame_index(q, n)
+                if i is None:
+                    return
                 ft = data.frame_tags[i]
                 self._send(
                     json.dumps(
@@ -312,19 +365,10 @@ def make_handler(data: DashboardData):
                     "application/json",
                 )
             elif url.path == "/stats":
-                stats = data.tagger.get_tag_statistics() if data.tagger else {}
-                self._send(json.dumps(stats).encode(), "application/json")
+                self._send(data.stats_json(), "application/json")
             elif url.path == "/search":
                 query = q.get("q", [""])[0]
-                hits = (
-                    [ft.frame_idx for ft in data.tagger.search_by_tag(query)]
-                    if data.tagger
-                    else []
-                )
-                self._send(
-                    json.dumps({"query": query, "frames": hits}).encode(),
-                    "application/json",
-                )
+                self._send(data.search_json(query), "application/json")
             else:
                 self.send_response(404)
                 self.end_headers()

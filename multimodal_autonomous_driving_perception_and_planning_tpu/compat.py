@@ -319,8 +319,6 @@ class VehicleStateEstimator:
 class MotionPlanner:
     """Per-frame facade over planning/planner.py (motion_planner.py:56-303)."""
 
-    MAX_OBSTACLES = 16
-
     def __init__(
         self,
         planning_horizon: float = 5.0,
@@ -334,7 +332,7 @@ class MotionPlanner:
         self.cfg = DEFAULT_CONFIG.planner.__class__(
             planning_horizon=planning_horizon, dt=dt, num_samples=num_samples
         )
-        O = self.MAX_OBSTACLES
+        O = self.cfg.max_obstacles
 
         def run(current, obstacles, obstacles_valid):
             return plan(
@@ -362,11 +360,17 @@ class MotionPlanner:
              current_state.speed],
             jnp.float32,
         )
+        obstacles = list(obstacles or [])
+        if len(obstacles) > self._O:
+            # Fail loudly like MultiObjectTracker.update's capacity check:
+            # silently dropping obstacles could plan through one.
+            raise ValueError(
+                f"{len(obstacles)} obstacles > capacity {self._O}; raise "
+                "PlannerConfig.max_obstacles at construction"
+            )
         obs = np.zeros((self._O, 3), np.float32)
         val = np.zeros((self._O,), bool)
-        for j, (x, y, r) in enumerate(obstacles or []):
-            if j >= self._O:
-                break
+        for j, (x, y, r) in enumerate(obstacles):
             obs[j] = (x, y, r)
             val[j] = True
         pr = self._run(cur, jnp.asarray(obs), jnp.asarray(val))
@@ -621,18 +625,23 @@ class SimulatedVehicleMotion:
         self._x = 0.0
         self._y = 0.0
         self._time = 0.0
-        self._truth = (0.0, 0.0, 0.0, 0.0)
+        # Reference initial state (vehicle_state.py:271-277): speed 10 m/s,
+        # heading 0 — get_ground_truth recomputes velocity from these, so a
+        # fresh/reset simulator reports (0, 0, 10, 0), not zeros.
+        self._speed = 10.0
+        self._heading = 0.0
 
     def step(self) -> np.ndarray:
         """Advance one tick; returns the noisy (x, y, vx, vy) measurement."""
         self._time += self.dt
-        speed = 10 + 3 * np.sin(self._time * 0.2)
-        heading = 0.1 * np.sin(self._time * 0.3) + 0.05 * np.sin(self._time * 0.7)
-        vx = speed * np.cos(heading)
-        vy = speed * np.sin(heading)
+        self._speed = 10 + 3 * np.sin(self._time * 0.2)
+        self._heading = (
+            0.1 * np.sin(self._time * 0.3) + 0.05 * np.sin(self._time * 0.7)
+        )
+        vx = self._speed * np.cos(self._heading)
+        vy = self._speed * np.sin(self._heading)
         self._x += vx * self.dt
         self._y += vy * self.dt
-        self._truth = (self._x, self._y, vx, vy)
         return np.asarray(
             [
                 self._x + np.random.normal(0, 0.5),
@@ -643,8 +652,13 @@ class SimulatedVehicleMotion:
         )
 
     def get_ground_truth(self) -> np.ndarray:
-        return np.asarray(self._truth)
+        # Recomputed from current speed/heading like the reference
+        # (vehicle_state.py:317-321) — (0, 0, 10, 0) before the first step.
+        vx = self._speed * np.cos(self._heading)
+        vy = self._speed * np.sin(self._heading)
+        return np.asarray([self._x, self._y, vx, vy])
 
     def reset(self) -> None:
         self._x = self._y = self._time = 0.0
-        self._truth = (0.0, 0.0, 0.0, 0.0)
+        self._speed = 10.0
+        self._heading = 0.0

@@ -159,9 +159,12 @@ class SyntheticRoadGenerator:
         return np.stack(list(self.generate_video_stream(num_frames)))
 
     def generate_ego_motion(self, num_steps: Optional[int] = None):
+        # seed=None: the reference draws from the current global RNG state
+        # (no reseeding side effect) — same contract as
+        # VideoDataLoader.generate_ego_motion (video_loader.py:166-205).
         from .synthetic import ego_motion_stream
 
-        return ego_motion_stream(num_steps or 300, dt=1.0 / self.fps)
+        return ego_motion_stream(num_steps or 300, dt=1.0 / self.fps, seed=None)
 
     def reset(self) -> None:
         self.frame_count = 0

@@ -25,12 +25,12 @@ except Exception:  # pragma: no cover
 
 class VideoDataLoader:
     def __init__(self, video_path: str, target_size: Optional[Tuple[int, int]] = None):
+        self.cap = None  # first, before any raise, so __del__ is safe
         if cv2 is None:
             raise ImportError("OpenCV is required for video decoding")
         self.video_path = Path(video_path)
         self.target_size = target_size
         self.frame_count = 0
-        self.cap = None  # assigned before any raise so __del__ is safe
         if not self.video_path.exists():
             raise FileNotFoundError(f"Video file not found: {video_path}")
         self.cap = cv2.VideoCapture(str(self.video_path))
@@ -100,6 +100,8 @@ class VideoDataLoader:
 
     def load_frames(self, num_frames: Optional[int] = None, start: int = 0) -> np.ndarray:
         """Decode a clip into one (T, H, W, 3) uint8 batch (device feed)."""
+        if self.cap is None:  # released — mirror read_frame's graceful path
+            return np.zeros((0, self.height, self.width, 3), np.uint8)
         n = self._total_frames - start if num_frames is None else num_frames
         n = max(0, min(n, self._total_frames - start))
         if start != self._next_decode_idx:

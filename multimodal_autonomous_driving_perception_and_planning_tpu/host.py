@@ -154,9 +154,11 @@ def _unroll_ring(ring: np.ndarray, count: int) -> List[Tuple[float, float]]:
 
 
 def trajectory_type_of(lateral_offset: float) -> str:
-    if abs(lateral_offset) < 0.5:
-        return "lane_keep"
-    return "lane_change_left" if lateral_offset < 0 else "lane_change_right"
+    """Alias of planning.planner.trajectory_type (single source for the
+    0.5 m lane-keep/lane-change threshold, motion_planner.py:288-294)."""
+    from .planning.planner import trajectory_type
+
+    return trajectory_type(lateral_offset)
 
 
 def extract_frame(outs: Dict, dets_in: Dict, f: int) -> FrameResult:

@@ -128,6 +128,8 @@ def run_stream(
     }
     if not collect_host:
         return None, stats
+    if not results:  # zero frames produced (empty source / total_frames=0)
+        return {}, stats
     merged: Dict[str, Any] = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0), *results
     )

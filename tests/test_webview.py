@@ -46,6 +46,13 @@ def test_webview_progressive_endpoints():
         # Out-of-range frame index clamps instead of erroring.
         jpg2 = urllib.request.urlopen(base + "/frame?i=999").read()
         assert jpg2[:2] == b"\xff\xd8"
+
+        # Non-numeric index answers 400, not a dropped connection.
+        try:
+            urllib.request.urlopen(base + "/frame?i=abc")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
 
