@@ -301,6 +301,13 @@ def make_caption_fn(cfg: BlipConfig, max_new_tokens: int = 40):
         return model.init(rng, dummy_img, dummy_ids)
 
     def caption_fn(params, pixel_values, prompt_ids, prompt_len):
+        # CLAUDE.md rule 3: the token-for-token parity proof vs torch runs
+        # on CPU (exact f32); on TPU the default bf16-pass matmuls could
+        # flip argmax picks on near-tie logits — pin full f32 passes.
+        with jax.default_matmul_precision("float32"):
+            return _caption(params, pixel_values, prompt_ids, prompt_len)
+
+    def _caption(params, pixel_values, prompt_ids, prompt_len):
         L = prompt_ids.shape[0] + max_new_tokens
         if L > cfg.max_position:
             raise ValueError(
@@ -387,6 +394,12 @@ def make_beam_caption_fn(
         return model.init(rng, dummy_img, dummy_ids)
 
     def caption_fn(params, pixel_values, prompt_ids, prompt_len):
+        # f32 matmul passes on TPU — see make_caption_fn (CLAUDE.md rule 3);
+        # beam scores are even more tie-sensitive than greedy argmax.
+        with jax.default_matmul_precision("float32"):
+            return _caption(params, pixel_values, prompt_ids, prompt_len)
+
+    def _caption(params, pixel_values, prompt_ids, prompt_len):
         L = prompt_ids.shape[0] + max_new_tokens
         if L > cfg.max_position:
             raise ValueError(

@@ -395,7 +395,23 @@ def load_torch_state_dict(state_dict: Dict[str, Any], variant: str = "n",
     Expects keys like ``model.0.conv.weight``; handles Conv/BN pairs,
     C2f ``m.<i>`` bottlenecks, SPPF, and the detect head's cv2/cv3 towers.
     The DFL conv (fixed arange weights) is implicit in `decode_predictions`.
+
+    ``variant`` is validated against the state dict's stem width up front —
+    a mismatched declaration would otherwise convert silently and fail as
+    an opaque Flax shape error at apply time.
     """
+    if "model.0.conv.weight" in state_dict or "0.conv.weight" in state_dict:
+        # Partial dicts (single-block converter tests) carry no stem conv;
+        # full checkpoints always do.
+        inferred = infer_variant_from_state_dict(state_dict)
+        if inferred != variant:
+            raise ValueError(
+                f"state dict is a yolov8{inferred} (stem width), but "
+                f"variant={variant!r} was requested — pass the matching "
+                "variant or let the caller infer it "
+                "(perception/detector._try_load_weights)"
+            )
+    del num_classes  # the class count is carried by the cv3 tower shapes
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -436,7 +452,6 @@ def _put_block(params, stats, prefix, rest, value, conv_w, put):
     """Route one state-dict entry into params/batch_stats trees."""
     # Normalize C2f bottleneck names: m.<i>.cvX -> m<i>/cvX
     path = []
-    it = iter(range(len(rest)))
     i = 0
     while i < len(rest):
         tok = rest[i]

@@ -180,16 +180,28 @@ def hough_segments(
     # 5x5 local-max NMS on the accumulator: one peak per physical line,
     # suppressing the +-1-bin vote smear around strong lines (no theta wrap
     # handling; lane lines live far from the 0/pi boundary after the slope
-    # filter).
+    # filter).  Vote-tie plateaus break toward the first bin in row-major
+    # scan order: strictly greater than every EARLIER neighbor, >= every
+    # later one — a plain `acc >= neigh_max` keeps every tied bin and one
+    # physical line comes out as several duplicate segments (burning
+    # max_lines slots and double-counting in the scene classifier's
+    # num_long_lines gate).
     def shift2(a, di, dj):
         return jnp.roll(jnp.roll(a, di, axis=0), dj, axis=1)
 
-    neigh_max = acc
-    for di in (-2, -1, 0, 1, 2):
-        for dj in (-2, -1, 0, 1, 2):
-            if di or dj:
-                neigh_max = jnp.maximum(neigh_max, shift2(acc, di, dj))
-    is_peak = (acc >= neigh_max) & (acc >= vote_threshold)
+    neg = jnp.float32(-1.0)  # votes are >= 0, so -1 never wins a max
+    before_max = jnp.full_like(acc, neg)
+    after_max = jnp.full_like(acc, neg)
+    for oi in (-2, -1, 0, 1, 2):
+        for oj in (-2, -1, 0, 1, 2):
+            if oi == 0 and oj == 0:
+                continue
+            neighbor = shift2(acc, -oi, -oj)  # value at (i+oi, j+oj)
+            if oi < 0 or (oi == 0 and oj < 0):
+                before_max = jnp.maximum(before_max, neighbor)
+            else:
+                after_max = jnp.maximum(after_max, neighbor)
+    is_peak = (acc > before_max) & (acc >= after_max) & (acc >= vote_threshold)
 
     # Strongest max_lines peaks, without a top_k sort over the 288K-bin
     # accumulator: compact the (few) peaks into a small pool in scan order,
@@ -259,6 +271,19 @@ def hough_segments(
     segments = jnp.stack([x1, y1, x2, y2], axis=-1)
 
     keep = line_valid & has_support & (length >= min_line_length)
+
+    # Distinct accumulator peaks can resolve to the SAME physical segment
+    # (their coarse supports capture the same pixels, so the extremes
+    # coincide) — cv2.HoughLinesP never re-emits a line because it erases
+    # support pixels as it extracts.  Drop exact duplicates of an earlier
+    # (higher-score) kept segment; (L, L) compare at L = max_lines is tiny.
+    same = jnp.all(
+        segments[:, None, :] == segments[None, :, :], axis=-1
+    )  # (L, L)
+    L = segments.shape[0]
+    earlier = jnp.arange(L)[None, :] < jnp.arange(L)[:, None]
+    dup = jnp.any(same & earlier & keep[None, :], axis=1)
+    keep = keep & jnp.logical_not(dup)
     return HoughLines(
         segments=jnp.where(keep[:, None], segments, 0.0),
         valid=keep,

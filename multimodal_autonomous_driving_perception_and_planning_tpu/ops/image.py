@@ -251,9 +251,16 @@ def laplacian_variance(gray: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def trapezoid_roi_mask(height: int, width: int):
-    """The default front-camera trapezoid (lane_detector.py:55-60):
+def trapezoid_roi_mask(
+    height: int,
+    width: int,
+    bottom_frac: float = 0.1,
+    top_frac: float = 0.4,
+    top_y_frac: float = 0.6,
+):
+    """Front-camera trapezoid (lane_detector.py:55-60), default
     (0.1w, h) - (0.4w, 0.6h) - (0.6w, 0.6h) - (0.9w, h), filled.
+    The fractions are LaneConfig's roi_* knobs.
 
     Rasterized with half-plane tests; matches cv2.fillPoly to within the
     boundary pixel.  Returns a *host* (numpy) bool mask: the mask is closed
@@ -265,10 +272,10 @@ def trapezoid_roi_mask(height: int, width: int):
 
     v = np.asarray(
         [
-            [int(width * 0.1), height],
-            [int(width * 0.4), int(height * 0.6)],
-            [int(width * 0.6), int(height * 0.6)],
-            [int(width * 0.9), height],
+            [int(width * bottom_frac), height],
+            [int(width * top_frac), int(height * top_y_frac)],
+            [int(width * (1.0 - top_frac)), int(height * top_y_frac)],
+            [int(width * (1.0 - bottom_frac)), height],
         ],
         np.float32,
     )
@@ -303,5 +310,14 @@ def bgr_to_hsv_green_ratio(frame: jnp.ndarray) -> jnp.ndarray:
         jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
     )
     h = jnp.where(h < 0, h + 360.0, h) / 2.0  # OpenCV: H/2 to fit uint8
-    in_range = (h >= 35) & (h <= 85) & (s >= 40) & (v >= 40)
+    # cv2.cvtColor rounds H and S to uint8 (cvRound = round-half-to-even on
+    # x86) BEFORE inRange compares them; unrounded floats would classify
+    # boundary pixels (e.g. S in [39.5, 40)) differently from the reference.
+    # Residual vs cv2: OpenCV computes H/S via 12-bit fixed-point division
+    # tables, which disagrees with float-then-round on ~0.04% of random
+    # pixels (measured; natural frames are lower) — well inside the scene
+    # classifier's 0.15 threshold margin.
+    h8 = jnp.round(h)
+    s8 = jnp.round(s)
+    in_range = (h8 >= 35) & (h8 <= 85) & (s8 >= 40) & (v >= 40)
     return jnp.mean(in_range.astype(jnp.float32))

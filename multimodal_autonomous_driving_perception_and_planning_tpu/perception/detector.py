@@ -168,6 +168,7 @@ class ObjectDetector:
         cfg: Optional[PipelineConfig] = None,
         rng_seed: int = 0,
         img_size: int = 640,
+        allow_random_init: bool = False,
     ):
         from ..config import DEFAULT_CONFIG
 
@@ -176,19 +177,25 @@ class ObjectDetector:
         self.frame_count = 0
         self.variables = None
         self.variant = None
+        self._img_size = img_size
         self._stream_fn = None
+        self._frame_fn = None
 
         if mode == "yolo":
             loaded, variant = (None, "n")
             if model_path:
                 loaded, variant = self._try_load_weights(model_path)
-                if loaded is None:
-                    print(
-                        "Could not load YOLO weights "
-                        f"({model_path}); falling back to simulated mode."
-                    )
-                    self.mode = "simulated"
-                    return
+            if loaded is None and not allow_random_init:
+                # Reference contract (detector.py:77-84 and PARITY.md's
+                # "weightless YOLO -> simulated"): without usable weights the
+                # detector degrades to the seeded simulator — it must never
+                # emit a random-init network's garbage boxes as detections.
+                print(
+                    "Could not load YOLO weights "
+                    f"({model_path!r}); falling back to simulated mode."
+                )
+                self.mode = "simulated"
+                return
             self.variant = variant
             init_fn, self._stream_fn = make_yolo_frontend(
                 self.cfg, variant=variant, img_size=img_size
@@ -235,7 +242,15 @@ class ObjectDetector:
     def detect(self, frame: np.ndarray):
         self.frame_count += 1
         if self.mode == "yolo" and self.variables is not None:
-            out = self._stream_fn(self.variables, jnp.asarray(frame)[None])
+            if self._frame_fn is None:
+                # Dedicated batch-1 program for the per-frame API: the
+                # streaming frontend pads to its batch (8), which would run
+                # 8 frames of conv work per single-frame call.
+                _, self._frame_fn = make_yolo_frontend(
+                    self.cfg, variant=self.variant, img_size=self._img_size,
+                    batch=1,
+                )
+            out = self._frame_fn(self.variables, jnp.asarray(frame)[None])
             out = {k: np.asarray(v)[0] for k, v in out.items()}
         else:
             from ..data.synthetic import simulated_detections_for_frame

@@ -54,7 +54,8 @@ def fit_lane_polynomial(
 
 
 def _separate_and_fit(
-    lines, valid, width: int, height: int, max_lines: int, fit_samples: int = 8
+    lines, valid, width: int, height: int,
+    min_abs_slope: float = 0.3, fit_samples: int = 8,
 ):
     """Slope/midpoint split (lane_detector.py:105-134) + per-side fit.
 
@@ -72,7 +73,7 @@ def _separate_and_fit(
     dx = x2 - x1
     vertical = dx == 0
     slope = (y2 - y1) / jnp.where(vertical, 1.0, dx)
-    usable = valid & jnp.logical_not(vertical) & (jnp.abs(slope) >= 0.3)
+    usable = valid & jnp.logical_not(vertical) & (jnp.abs(slope) >= min_abs_slope)
     mid = (x1 + x2) * 0.5
     cx = width / 2.0
     left = usable & (slope < 0) & (mid < cx)
@@ -152,8 +153,10 @@ def make_scene_features(cfg: PipelineConfig):
 
 def make_lane_step(cfg: PipelineConfig):
     h, w = cfg.frame_height, cfg.frame_width
-    roi = trapezoid_roi_mask(h, w)
     lc = cfg.lanes
+    roi = trapezoid_roi_mask(
+        h, w, lc.roi_bottom_frac, lc.roi_top_frac, lc.roi_top_y_frac
+    )
     sf = lc.smoothing_factor
     scene_features = make_scene_features(cfg)
 
@@ -182,7 +185,7 @@ def make_lane_step(cfg: PipelineConfig):
             row_range=(int(h * lc.roi_top_y_frac), h),
         )
         (lf, l_found, l_conf), (rf, r_found, r_conf) = _separate_and_fit(
-            hl.segments, hl.valid, w, h, lc.max_lines
+            hl.segments, hl.valid, w, h, min_abs_slope=lc.min_abs_slope
         )
 
         # EMA against the previous fit (lane_detector.py:159-161,209-216).

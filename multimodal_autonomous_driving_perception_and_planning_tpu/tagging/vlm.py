@@ -164,7 +164,8 @@ def infer_time_of_day(desc: str) -> str:
 class _StubBackend:
     """Deterministic caption synthesis from pipeline context."""
 
-    def generate(self, frame, prompt, context) -> str:
+    def generate(self, frame, prompt, context, max_tokens=None) -> str:
+        del max_tokens  # synthesized captions are already short
         n_tracks = len(context.get("tracks") or [])
         speed = 0.0
         vs = context.get("vehicle_state")
@@ -214,7 +215,7 @@ class _BlipBackend:
             self.load_error = str(e)
             return False
 
-    def generate(self, frame, prompt, context) -> str:
+    def generate(self, frame, prompt, context, max_tokens=None) -> str:
         if not self._load():
             return f"Model load failed: {self.load_error}"
         try:
@@ -231,7 +232,12 @@ class _BlipBackend:
             with torch.no_grad():
                 out = self.model.generate(
                     **inputs,
-                    max_new_tokens=self.cfg.max_new_tokens,
+                    # Per-call budget like the reference (scene 75 /
+                    # safety 50, vlm_tagger.py:241-260), capped by config.
+                    max_new_tokens=min(
+                        max_tokens or self.cfg.max_new_tokens,
+                        self.cfg.max_new_tokens,
+                    ),
                     num_beams=self.cfg.num_beams,
                 )
             return self.processor.decode(out[0], skip_special_tokens=True).strip()
@@ -253,7 +259,7 @@ class _JaxBlipBackend:
         self.cfg = cfg
         self.load_error: Optional[str] = None
         self._ready = False
-        self._caption = None
+        self._captions = {}
         self._params = None
         self._tokenizer = None
         self._bcfg = None
@@ -264,14 +270,7 @@ class _JaxBlipBackend:
         if self.load_error:
             return False
         try:
-            import jax
-
-            from ..models.blip import (
-                BlipConfig,
-                load_torch_state_dict,
-                make_beam_caption_fn,
-                make_caption_fn,
-            )
+            from ..models.blip import BlipConfig, load_torch_state_dict
 
             import os
 
@@ -324,22 +323,8 @@ class _JaxBlipBackend:
                     )
                     self._tokenizer = AutoTokenizer.from_pretrained(hub)
             self._bcfg = BlipConfig()
-            # num_beams > 1 uses the scan beam search proven token-for-token
-            # against HF generate (the reference decodes with num_beams=3,
-            # vlm_tagger.py:177); 1 keeps the cheaper greedy scan.
-            if self.cfg.num_beams > 1:
-                init_fn, caption_fn = make_beam_caption_fn(
-                    self._bcfg,
-                    max_new_tokens=self.cfg.max_new_tokens,
-                    num_beams=self.cfg.num_beams,
-                )
-            else:
-                init_fn, caption_fn = make_caption_fn(
-                    self._bcfg, max_new_tokens=self.cfg.max_new_tokens
-                )
             state_dict = self._load_state_dict(self.cfg.model_name)
             self._params = load_torch_state_dict(state_dict, self._bcfg)
-            self._caption = jax.jit(caption_fn)
             self._ready = True
             return True
         except Exception as e:  # no local weights / tokenizer, ...
@@ -369,7 +354,31 @@ class _JaxBlipBackend:
             return load_file(st_path)
         raise FileNotFoundError(f"no torch state dict under {path}")
 
-    def generate(self, frame, prompt, context) -> str:
+    def _caption_for(self, max_new_tokens: int):
+        """One jitted caption program per token budget (the reference asks
+        for 75 scene / 50 safety tokens, vlm_tagger.py:241-260)."""
+        if max_new_tokens not in self._captions:
+            import jax
+
+            from ..models.blip import make_beam_caption_fn, make_caption_fn
+
+            # num_beams > 1 uses the scan beam search proven token-for-token
+            # against HF generate (the reference decodes with num_beams=3,
+            # vlm_tagger.py:177); 1 keeps the cheaper greedy scan.
+            if self.cfg.num_beams > 1:
+                _, caption_fn = make_beam_caption_fn(
+                    self._bcfg,
+                    max_new_tokens=max_new_tokens,
+                    num_beams=self.cfg.num_beams,
+                )
+            else:
+                _, caption_fn = make_caption_fn(
+                    self._bcfg, max_new_tokens=max_new_tokens
+                )
+            self._captions[max_new_tokens] = jax.jit(caption_fn)
+        return self._captions[max_new_tokens]
+
+    def generate(self, frame, prompt, context, max_tokens=None) -> str:
         if not self._load():
             return f"Model load failed: {self.load_error}"
         try:
@@ -389,7 +398,10 @@ class _JaxBlipBackend:
             cap = max(16, ((n + 7) // 8) * 8)
             buf = np.zeros((cap,), np.int32)
             buf[:n] = ids
-            out_ids, length = self._caption(
+            m = min(
+                max_tokens or self.cfg.max_new_tokens, self.cfg.max_new_tokens
+            )
+            out_ids, length = self._caption_for(m)(
                 self._params, px, jnp.asarray(buf), jnp.asarray(n)
             )
             out = np.asarray(out_ids)[: int(length)]
@@ -421,11 +433,11 @@ class VLMTagger:
         self.tag_history: List[VLMTags] = []
         self._last_tags: Optional[VLMTags] = None
 
-    def _generate(self, frame, prompt, context) -> str:
-        text = self._backend.generate(frame, prompt, context)
+    def _generate(self, frame, prompt, context, max_tokens=None) -> str:
+        text = self._backend.generate(frame, prompt, context, max_tokens)
         failed = "load failed" in text.lower() or "error" in text.lower()
         if failed and self._fallback is not None:
-            return self._fallback.generate(frame, prompt, context)
+            return self._fallback.generate(frame, prompt, context, max_tokens)
         return text
 
     def tag_frame(
@@ -451,11 +463,22 @@ class VLMTagger:
 
         context = {"vehicle_state": vehicle_state, "tracks": tracks}
         tags = VLMTags(frame_idx=self.frame_count, timestamp=timestamp)
+        # Token budgets and the promptless retry mirror the reference
+        # (vlm_tagger.py:241-260): scene 75 tokens, retry without prompt if
+        # the caption reads as an error, safety 50 tokens.
+        scene_max = min(75, self.cfg.max_new_tokens)
         tags.scene_description = self._generate(
-            frame, "a photo of a driving scene showing", context
+            frame, "a photo of a driving scene showing", context,
+            max_tokens=scene_max,
         )
+        low = tags.scene_description.lower()
+        if "error" in low or "failed" in low:
+            tags.scene_description = self._generate(
+                frame, None, context, max_tokens=scene_max
+            )
         tags.safety_assessment = self._generate(
-            frame, "this driving situation is", context
+            frame, "this driving situation is", context,
+            max_tokens=min(50, self.cfg.max_new_tokens),
         )
         tags.extracted_tags = extract_tags(tags.scene_description, tags.safety_assessment)
         tags.road_type = infer_road_type(tags.scene_description)

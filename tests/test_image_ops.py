@@ -93,4 +93,6 @@ def test_green_ratio_close(frame):
     mask = cv2.inRange(hsv, (35, 40, 40), (85, 255, 255))
     want = (mask > 0).mean()
     got = float(bgr_to_hsv_green_ratio(jnp.asarray(frame)))
-    np.testing.assert_allclose(got, want, atol=0.01)
+    # H/S are rounded to uint8 like cv2 before the range compare; the
+    # residual is cv2's fixed-point division tables (~0.04% of pixels).
+    np.testing.assert_allclose(got, want, atol=0.002)

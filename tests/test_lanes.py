@@ -32,6 +32,23 @@ def test_hough_finds_a_drawn_line():
         ) < 6.0, (seg, want)
 
 
+def test_hough_one_segment_per_physical_line():
+    """Vote-tie plateaus and distinct peaks resolving to the same support
+    must not emit duplicate segments: one 20-px line used to come out as 4
+    identical segments (plateau keep-all + no dedup), inflating max_lines
+    usage and the scene classifier's num_long_lines count."""
+    edges = np.zeros((60, 80), bool)
+    edges[30, 20:40] = True
+    hl = hough_segments(
+        jnp.asarray(edges), vote_threshold=5, min_line_length=10,
+        num_thetas=180, max_lines=8, edge_capacity=256,
+    )
+    valid = np.asarray(hl.valid)
+    assert valid.sum() == 1, np.asarray(hl.segments)[valid]
+    seg = np.asarray(hl.segments)[valid][0]
+    np.testing.assert_allclose(seg, [20.0, 30.0, 39.0, 30.0], atol=1.5)
+
+
 def test_hough_overflow_flag():
     """Pool truncation is detectable: a pathological low-threshold dense
     edge field sets ``overflow``; normal lane scenes do not."""

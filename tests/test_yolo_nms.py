@@ -150,7 +150,13 @@ def test_object_detector_api_modes():
     det_missing = ObjectDetector(mode="yolo", model_path="/no/such/weights.pt")
     assert det_missing.mode == "simulated"  # graceful fallback like the reference
 
-    det_rand = ObjectDetector(mode="yolo")
+    # No weights and no opt-in -> reference contract: simulated fallback.
+    det_noweights = ObjectDetector(mode="yolo")
+    assert det_noweights.mode == "simulated"
+
+    # Random-init network is an explicit opt-in (offline test fixture).
+    det_rand = ObjectDetector(mode="yolo", allow_random_init=True)
+    assert det_rand.mode == "yolo"
     stream = det_rand.detect_stream(np.zeros((2, 480, 640, 3), np.uint8))
     assert stream["bbox"].shape == (2, 16, 4)
 
@@ -172,7 +178,7 @@ def test_yolo_stream_feeds_pipeline():
     )
 
     cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
-    det = ObjectDetector(mode="yolo", cfg=cfg)
+    det = ObjectDetector(mode="yolo", cfg=cfg, allow_random_init=True)
     frames = np.zeros((6, 480, 640, 3), np.uint8)
     stream = det.detect_stream(frames)
     inputs = dict(stream)
