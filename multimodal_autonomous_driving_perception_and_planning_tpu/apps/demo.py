@@ -36,8 +36,13 @@ def _build_inputs(
     if detector is not None and detector.mode == "yolo":
         # Real YOLO weights (--yolo --weights path.npz): batch-detect the
         # whole frame stack on device, then feed the tables to the scan.
-        out = detector._stream_fn(detector.variables, jnp.asarray(frames))
-        dets = {k: np.asarray(v) for k, v in out.items()}
+        if frames.shape[1] < 32 or frames.shape[2] < 32:
+            raise ValueError(
+                "YOLO mode needs real camera frames; got placeholder "
+                f"{frames.shape[1]}x{frames.shape[2]} images (--no-lanes "
+                "disables frame generation — drop it or use --video)"
+            )
+        dets = {k: np.asarray(v) for k, v in detector.detect_stream(frames).items()}
     else:
         dets = simulated_detection_stream(
             num_frames,
@@ -112,7 +117,14 @@ def run_demo(
         n = num_frames or 300
         print(f"[6/6] Generating {n} synthetic road frames...")
         gen = SyntheticRoadGenerator(cfg.frame_width, cfg.frame_height)
-        frames = gen.generate_frames(n) if use_frames else np.zeros((n, 1, 1, 3), np.uint8)
+        # YOLO mode consumes pixels even when the lane stack is off
+        # (--no-lanes): never hand it the 1x1 placeholders.
+        need_pixels = use_frames or yolo
+        frames = (
+            gen.generate_frames(n)
+            if need_pixels
+            else np.zeros((n, 1, 1, 3), np.uint8)
+        )
         total = n
     else:
         print(f"[6/6] Loading video: {video_path}")
@@ -250,7 +262,9 @@ def run_demo(
                 video_writer = cv2.VideoWriter(
                     str(out_path),
                     cv2.VideoWriter_fourcc(*"mp4v"),
-                    30.0,
+                    # Source rate, not a hardcoded 30: a 25/60 fps input
+                    # would otherwise play 20% fast / 2x slow.
+                    round(1.0 / dt) if dt > 0 else 30.0,
                     (combined.shape[1], combined.shape[0]),
                 )
             video_writer.write(combined)

@@ -93,7 +93,14 @@ class PipelineServer:
         self.artifact_bytes = len(artifact)
         self.run = deserialize_runner(artifact, self.cfg, self.chunk)
         self._initial_state = lambda: initial_state(self.cfg)
-        self._example = example_sequence_inputs(self.cfg, self.chunk)
+        # Keep only shape/dtype SPECS for per-request validation: the real
+        # zero-filled example arrays (a (chunk, H, W, 3) frame stack alone
+        # is ~236 MB at chunk=64) are materialized once for warmup below
+        # and then freed.
+        example = example_sequence_inputs(self.cfg, self.chunk)
+        self._example = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in example.items()
+        }
         self.sessions: "OrderedDict[str, Any]" = OrderedDict()  # LRU order
         self.max_sessions = int(max_sessions)
         self._next_id = 0
@@ -106,8 +113,9 @@ class PipelineServer:
         import time as _time
 
         t0 = _time.time()
-        _, outs = self.run(self._initial_state(), self._example)
+        _, outs = self.run(self._initial_state(), example)
         jax.block_until_ready(outs["plan_best"])
+        del example, outs  # free the warmup buffers before serving
         self.warmup_seconds = _time.time() - t0
 
     # -- session management -------------------------------------------------

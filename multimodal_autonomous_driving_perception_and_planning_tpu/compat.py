@@ -416,7 +416,8 @@ class AutoTagger(_BaseAutoTagger):
         tg = self.cfg.tagging
         self._t_cap = self.cfg.tracker.max_tracks
         self._initial = lambda: TaggingState.initial(
-            tg.scene_smoothing_window, tg.maneuver_history, self._t_cap
+            tg.scene_smoothing_window, tg.maneuver_history, self._t_cap,
+            interaction_history=tg.interaction_history,
         )
         self._state = self._initial()
         self._slots: Dict[int, int] = {}  # track_id -> stable slot

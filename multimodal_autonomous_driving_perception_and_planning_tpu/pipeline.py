@@ -32,6 +32,7 @@ def initial_state(cfg: PipelineConfig) -> PipelineState:
             cfg.tagging.scene_smoothing_window,
             cfg.tagging.maneuver_history,
             cfg.tracker.max_tracks,
+            interaction_history=cfg.tagging.interaction_history,
         ),
         frame_idx=jnp.asarray(0, jnp.int32),
     )
@@ -244,6 +245,20 @@ def unpack_tree(packed, spec):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+_REQUIRED_INPUT_KEYS = frozenset(
+    {"bbox", "class_id", "confidence", "valid", "ego_measurement"}
+)
+_OPTIONAL_INPUT_KEYS = frozenset(
+    {
+        "has_measurement",  # estimator measurement-skip branch
+        "reference_positions",  # planner reference-path cost
+        "reference_valid",
+        "obstacles",  # planner obstacle penalties
+        "obstacles_valid",
+    }
+)
+
+
 def make_sequence_runner(
     cfg: PipelineConfig, donate: bool = True, backend: str | None = None
 ):
@@ -282,6 +297,23 @@ def make_sequence_runner(
         }
         if "frame" in inputs:
             scan_inputs["frame"] = inputs["frame"]
+        # Optional per-frame inputs the step supports: forward them rather
+        # than silently computing with every frame "measured" and no
+        # obstacle/reference costs, and reject keys the step would ignore.
+        for key in _OPTIONAL_INPUT_KEYS:
+            if key in inputs:
+                scan_inputs[key] = inputs[key]
+        unknown = (
+            set(inputs)
+            - _REQUIRED_INPUT_KEYS
+            - _OPTIONAL_INPUT_KEYS
+            - {"frame"}
+        )
+        if unknown:
+            raise ValueError(
+                f"unknown sequence inputs {sorted(unknown)}; supported: "
+                f"{sorted(_REQUIRED_INPUT_KEYS | _OPTIONAL_INPUT_KEYS)} + 'frame'"
+            )
 
         final, packed_outs = jax.lax.scan(body, state, scan_inputs)
         outs = unpack_tree(packed_outs, spec_cell[0])

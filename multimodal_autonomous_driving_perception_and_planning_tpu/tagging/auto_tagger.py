@@ -77,7 +77,7 @@ class TaggingSession:
         }
 
 
-def _frame_tags_from_device(f: int, tags: Dict[str, np.ndarray], fps: float) -> FrameTags:
+def _frame_tags_from_device(f: int, tags: Dict[str, np.ndarray]) -> FrameTags:
     """Decode one frame's device tag tensors into a FrameTags record.
 
     Tag-list construction order mirrors the reference aggregation
@@ -250,7 +250,9 @@ class AutoTagger:
         host_tags = {k: np.asarray(v) for k, v in tags.items()}
         for f in range(num_frames):
             per_frame = {k: v[f] for k, v in host_tags.items()}
-            ft = _frame_tags_from_device(self.frame_count, per_frame, self.fps)
+            # Timestamps come from the device "timestamp" tag tensor (which
+            # already encodes the tagging fps), not from self.fps.
+            ft = _frame_tags_from_device(self.frame_count, per_frame)
             self.frame_tags.append(ft)
             for tag in ft.all_tags:
                 self.tag_counts[tag] = self.tag_counts.get(tag, 0) + 1

@@ -73,8 +73,10 @@ class TrackTable:
     age: Any  # (T,) int32
     hits: Any  # (T,) int32
     misses: Any  # (T,) int32
-    # Trajectory ring buffer of box centers; traj_len counts valid entries
-    # and saturates at the ring capacity (multi_object_tracker.py:199-205).
+    # Trajectory ring buffer of box centers; traj_len counts TOTAL writes
+    # (it grows without bound — consumers take min(traj_len, L) for the
+    # valid-entry count and traj_len % L for the ring head, see
+    # host._unroll_ring; reference ring: multi_object_tracker.py:199-205).
     trajectory: Any  # (T, 2*L) float32, interleaved [x0, y0, x1, y1, ...]
     # (flat layout: a trailing dim of 2 tiles at 2/128 lanes on TPU)
     traj_len: Any  # (T,) int32
@@ -236,13 +238,26 @@ class TaggingState:
     frame_count: Any  # () int32 (shared frame counter per tagger parity)
 
     @staticmethod
-    def initial(window: int, history: int, max_tracks: int) -> "TaggingState":
+    def initial(
+        window: int,
+        history: int,
+        max_tracks: int,
+        interaction_history: int | None = None,
+    ) -> "TaggingState":
+        """``history`` sizes the maneuver ring; the interaction center ring
+        has its own knob (TaggingConfig.interaction_history) — sizing it
+        from the maneuver length only works while the two defaults happen
+        to coincide."""
+        if interaction_history is None:
+            interaction_history = history
         return TaggingState(
             scene_votes=jnp.full((window,), -1, jnp.int32),
             scene_count=jnp.asarray(0, jnp.int32),
             man_history=jnp.zeros((history, 6), jnp.float32),
             man_count=jnp.asarray(0, jnp.int32),
-            int_centers=jnp.zeros((max_tracks, 2 * history), jnp.float32),
+            int_centers=jnp.zeros(
+                (max_tracks, 2 * interaction_history), jnp.float32
+            ),
             int_len=jnp.zeros((max_tracks,), jnp.int32),
             int_track_id=jnp.zeros((max_tracks,), jnp.int32),
             frame_count=jnp.asarray(0, jnp.int32),

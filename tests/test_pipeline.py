@@ -111,3 +111,50 @@ def test_pipeline_with_frames_and_tagging():
     assert np.abs(np.asarray(lo.offset_px)).max() < 20  # ego is lane-centered
     # Both lanes found -> highway score contribution (long lines dominate).
     assert np.asarray(outs["tags"]["road_type"]).max() >= 2
+
+
+def test_sequence_runner_forwards_optional_inputs():
+    """Optional per-frame inputs (obstacles, has_measurement) must reach the
+    step — they used to be silently dropped — and unknown keys must raise."""
+    import pytest
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False)
+    T = 6
+    dets = simulated_detection_stream(T)
+    ego = ego_motion_stream(T, dt=1.0 / 30.0, seed=0)
+    base = {
+        "bbox": jnp.asarray(dets["bbox"]),
+        "class_id": jnp.asarray(dets["class_id"]),
+        "confidence": jnp.asarray(dets["confidence"]),
+        "valid": jnp.asarray(dets["valid"]),
+        "ego_measurement": jnp.asarray(ego, jnp.float32),
+    }
+    run = make_sequence_runner(cfg, donate=False)
+    _, outs_plain = run(initial_state(cfg), base)
+
+    # An obstacle wall right on the ego path must change the plan costs.
+    O = cfg.planner.max_obstacles
+    obstacles = np.zeros((T, O, 3), np.float32)
+    obstacles[:, 0] = (3.0, 0.0, 2.0)  # (x, y, radius) ahead of the ego
+    valid = np.zeros((T, O), bool)
+    valid[:, 0] = True
+    _, outs_obs = run(
+        initial_state(cfg),
+        dict(base, obstacles=jnp.asarray(obstacles),
+             obstacles_valid=jnp.asarray(valid)),
+    )
+    assert not np.allclose(
+        np.asarray(outs_plain["plan_costs"]), np.asarray(outs_obs["plan_costs"])
+    )
+
+    # has_measurement=False must take the measurement-skip branch.
+    hm = np.zeros((T,), bool)
+    _, outs_skip = run(
+        initial_state(cfg), dict(base, has_measurement=jnp.asarray(hm))
+    )
+    vs_plain = np.asarray(outs_plain["vehicle_state"].x)
+    vs_skip = np.asarray(outs_skip["vehicle_state"].x)
+    assert not np.allclose(vs_plain, vs_skip)
+
+    with pytest.raises(ValueError, match="unknown sequence inputs"):
+        run(initial_state(cfg), dict(base, bogus=jnp.zeros((T,))))
