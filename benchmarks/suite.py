@@ -955,24 +955,47 @@ def main():
         " (tunnel cost of any dispatch carrying a fresh host value)",
         flush=True,
     )
-    bench_single_step(repeats)
-    bench_sequence(repeats)
-    bench_yolo(repeats)
-    # Full detect+NMS on the wider variants (compile-viable since the
-    # Pallas NMS kernel; batch sized down with model width for HBM).
-    bench_yolo(repeats, batch=64, reps=4, variant="s")
-    bench_yolo(repeats, batch=32, reps=4, variant="m")
-    bench_yolo_variants(repeats)
-    bench_yolo_e2e(repeats)
-    bench_dense_traffic(repeats)
-    bench_tracker_kernel(repeats)
-    bench_kalman_bank(repeats)
-    bench_multicamera(repeats)
-    bench_multicamera_frames(repeats)
-    bench_frames(repeats)
-    bench_streaming_overlap(repeats)
+    benches = [
+        ("single_step", lambda: bench_single_step(repeats)),
+        ("sequence", lambda: bench_sequence(repeats)),
+        ("yolo_n", lambda: bench_yolo(repeats)),
+        # Full detect+NMS on the wider variants (compile-viable since the
+        # Pallas NMS kernel; batch sized down with model width for HBM).
+        ("yolo_s", lambda: bench_yolo(repeats, batch=64, reps=4, variant="s")),
+        ("yolo_m", lambda: bench_yolo(repeats, batch=32, reps=4, variant="m")),
+        ("yolo_variants", lambda: bench_yolo_variants(repeats)),
+        ("yolo_e2e", lambda: bench_yolo_e2e(repeats)),
+        ("dense_traffic", lambda: bench_dense_traffic(repeats)),
+        ("tracker_kernel", lambda: bench_tracker_kernel(repeats)),
+        ("kalman_bank", lambda: bench_kalman_bank(repeats)),
+        ("multicamera", lambda: bench_multicamera(repeats)),
+        ("multicamera_frames", lambda: bench_multicamera_frames(repeats)),
+        ("frames", lambda: bench_frames(repeats)),
+        ("streaming_overlap", lambda: bench_streaming_overlap(repeats)),
+    ]
     if args.vlm:
-        bench_blip(repeats)
+        benches.append(("blip", lambda: bench_blip(repeats)))
+
+    # One crashing benchmark must not lose the rest of the run (TPU windows
+    # on this tunnel runtime are scarce): record the failure as a JSON line
+    # and keep going; exit nonzero at the end so automation notices.
+    failed = []
+    for name, fn in benches:
+        try:
+            fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            failed.append(name)
+            print(
+                json.dumps(
+                    {"metric": f"{name}_ERROR", "error": f"{type(e).__name__}: {e}"}
+                ),
+                flush=True,
+            )
+    if failed:
+        print(f"# {len(failed)} benchmark(s) failed: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
