@@ -10,6 +10,9 @@ process (CLAUDE.md rule: one TPU process at a time):
   python tools/tpu_checks.py nms         # NMS keep-mask parity + vmap
   python tools/tpu_checks.py yolos       # yolov8s full detect+NMS compile
   python tools/tpu_checks.py yolom       # yolov8m full detect+NMS compile
+  python tools/tpu_checks.py yolol       # yolov8l full detect+NMS compile
+  python tools/tpu_checks.py yolox       # yolov8x full detect+NMS compile
+  python tools/tpu_checks.py dispatch    # default lowering picks the kernels
   python tools/tpu_checks.py scan        # 300-frame scan: kernel vs XLA ids
 """
 
@@ -163,7 +166,7 @@ def check_yolo_variant(variant: str, budget_s: float = 600.0) -> None:
         make_yolo_detector,
     )
 
-    batch = {"s": 16, "m": 8}.get(variant, 16)
+    batch = {"s": 16, "m": 8, "l": 4, "x": 4}.get(variant, 16)
     init_fn, detect_fn = make_yolo_detector(variant=variant, max_det=32)
     variables = init_fn(jax.random.PRNGKey(0))
     frames = jnp.asarray(
@@ -282,6 +285,8 @@ def main() -> int:
         "nms": check_nms,
         "yolos": lambda: check_yolo_variant("s"),
         "yolom": lambda: check_yolo_variant("m"),
+        "yolol": lambda: check_yolo_variant("l"),
+        "yolox": lambda: check_yolo_variant("x"),
         "scan": check_scan,
     }[which]()
     return 0
