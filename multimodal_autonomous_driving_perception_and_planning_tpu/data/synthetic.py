@@ -136,6 +136,43 @@ def ego_motion_stream(
     return out
 
 
+class IncrementalEgoMotion:
+    """Stateful `ego_motion_stream` producing successive rows in O(n) per
+    call — bit-identical to slicing one monolithic stream, without the
+    O(T^2/chunk) regenerate-from-frame-0 cost the chunked stream driver
+    (runtime/stream.py) used to pay.
+
+    ``np.random.RandomState(seed)`` initializes the same MT19937 stream as
+    ``np.random.seed(seed)`` on the global generator, so the draws match
+    `ego_motion_stream(seed=seed)` exactly (asserted in test_runtime)."""
+
+    def __init__(self, dt: float = 1.0 / 30.0, seed: int = 0):
+        self.dt = dt
+        self._i = 0
+        self._x = 0.0
+        self._y = 0.0
+        self._rs = np.random.RandomState(seed)
+
+    def take(self, num_frames: int) -> np.ndarray:
+        out = np.zeros((num_frames, 4), np.float64)
+        speed = 10.0
+        for j in range(num_frames):
+            t = self._i * self.dt
+            heading = 0.05 * np.sin(t * 0.5)
+            vx = speed * np.cos(heading)
+            vy = speed * np.sin(heading)
+            self._x += vx * self.dt
+            self._y += vy * self.dt
+            out[j] = (
+                self._x + self._rs.normal(0, 0.1),
+                self._y + self._rs.normal(0, 0.1),
+                vx + self._rs.normal(0, 0.05),
+                vy + self._rs.normal(0, 0.05),
+            )
+            self._i += 1
+        return out
+
+
 def simulated_vehicle_motion_stream(
     num_frames: int, dt: float = 0.033, seed: int | None = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

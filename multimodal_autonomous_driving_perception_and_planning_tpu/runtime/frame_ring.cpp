@@ -197,6 +197,9 @@ void producer_loop(FrameRing* ring, int64_t num_frames, Fill fill) {
 extern "C" {
 
 FrameRing* ring_create(int width, int height, int slots) {
+  // slots == 0 would be modulo-by-zero UB in slot indexing; non-positive
+  // dims would wrap frame_bytes through the size_t cast.
+  if (width <= 0 || height <= 0 || slots <= 0) return nullptr;
   auto* ring = new FrameRing();
   ring->width = width;
   ring->height = height;
@@ -233,8 +236,16 @@ void ring_start_synthetic(FrameRing* ring, int64_t num_frames, int threads) {
 
 // Raw packed BGR frames: every producer opens its own descriptor and
 // preads at i * frame_bytes — no shared file position, no serialization.
-void ring_start_rawfile(FrameRing* ring, const char* path, int64_t num_frames,
-                        int threads) {
+// Returns 0 on success, -1 when the file cannot be opened (otherwise a
+// bad path would surface as a silent empty stream, indistinguishable from
+// a legitimately empty source).
+int ring_start_rawfile(FrameRing* ring, const char* path, int64_t num_frames,
+                       int threads) {
+  {
+    FILE* probe = std::fopen(path, "rb");
+    if (!probe) return -1;
+    std::fclose(probe);
+  }
   ring->total.store(num_frames);
   std::string p(path);
   int n = resolve_threads(threads);
@@ -250,6 +261,7 @@ void ring_start_rawfile(FrameRing* ring, const char* path, int64_t num_frames,
       if (f) std::fclose(f);
     });
   }
+  return 0;
 }
 
 // Copy the next frame into out (H*W*3 bytes).  Returns the frame index, or
@@ -278,11 +290,15 @@ int64_t ring_next(FrameRing* ring, uint8_t* out, int timeout_ms) {
   return want;
 }
 
-// Drain up to n frames into a contiguous buffer; returns count copied.
+// Drain up to n frames into a contiguous buffer.  Returns the count copied
+// (stopping early only at stream exhaustion), or -(i+1) when frame i timed
+// out — a transient producer stall must stay distinguishable from
+// end-of-stream, or a 5-second disk hiccup silently truncates the run.
 int64_t ring_next_batch(FrameRing* ring, uint8_t* out, int64_t n, int timeout_ms) {
   for (int64_t i = 0; i < n; ++i) {
     int64_t idx = ring_next(ring, out + i * ring->frame_bytes, timeout_ms);
-    if (idx < 0) return i;
+    if (idx == -2) return -(i + 1);
+    if (idx < 0) return i;  // -1: exhausted
   }
   return n;
 }

@@ -40,6 +40,7 @@ def _load():
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ring_start_synthetic.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.ring_start_rawfile.restype = ctypes.c_int
     lib.ring_start_rawfile.argtypes = [
         ctypes.c_void_p,
         ctypes.c_char_p,
@@ -90,28 +91,57 @@ class NativeFrameSource:
         self.num_frames = num_frames
         self._lib = _load()
         self._ring = self._lib.ring_create(width, height, slots)
+        if not self._ring:  # native side validates (slots==0 would be UB)
+            raise ValueError(
+                f"invalid ring dimensions width={width} height={height} "
+                f"slots={slots} (all must be > 0)"
+            )
         if raw_path is not None:
-            self._lib.ring_start_rawfile(
+            rc = self._lib.ring_start_rawfile(
                 self._ring, str(raw_path).encode(), num_frames, threads
             )
+            if rc != 0:
+                self.close()
+                raise FileNotFoundError(
+                    f"cannot open raw frame file: {raw_path}"
+                )
         else:
             self._lib.ring_start_synthetic(self._ring, num_frames, threads)
 
     def next_frame(self, timeout_ms: int = 5000) -> Optional[np.ndarray]:
+        """Next frame, or None at end-of-stream.  Raises TimeoutError on a
+        producer stall (a stall must not look like exhaustion)."""
         out = np.empty((self.height, self.width, 3), np.uint8)
         idx = self._lib.ring_next(
             self._ring, out.ctypes.data_as(ctypes.c_void_p), timeout_ms
         )
+        if idx == -2:
+            raise TimeoutError(
+                f"frame producer stalled (> {timeout_ms} ms; "
+                f"produced={self.produced} consumed={self.consumed})"
+            )
         if idx < 0:
             return None
         return out
 
     def next_batch(self, n: int, timeout_ms: int = 5000) -> np.ndarray:
+        """Up to ``n`` frames; short only at end-of-stream.  Raises
+        TimeoutError on a producer stall mid-batch — a silently truncated
+        batch would make the chunked scan driver advance its carried state
+        through padded frames (runtime/stream.py contract)."""
         out = np.empty((n, self.height, self.width, 3), np.uint8)
-        got = self._lib.ring_next_batch(
-            self._ring, out.ctypes.data_as(ctypes.c_void_p), n, timeout_ms
+        got = int(
+            self._lib.ring_next_batch(
+                self._ring, out.ctypes.data_as(ctypes.c_void_p), n, timeout_ms
+            )
         )
-        return out[: int(got)]
+        if got < 0:
+            raise TimeoutError(
+                f"frame producer stalled after {-got - 1} frames "
+                f"(> {timeout_ms} ms; produced={self.produced} "
+                f"consumed={self.consumed})"
+            )
+        return out[:got]
 
     @property
     def produced(self) -> int:

@@ -28,10 +28,13 @@ from ..config import PipelineConfig
 from ..pipeline import initial_state, make_sequence_runner
 
 
-def _chunk_inputs(cfg: PipelineConfig, frames: np.ndarray, start: int, dt: float):
+def _chunk_inputs(
+    cfg: PipelineConfig, frames: np.ndarray, start: int, dt: float, ego=None
+):
     """Inputs for frames [start, start+len): detections keyed off the
-    reference's post-increment frame counter, ego slice re-seeded like the
-    monolithic build (see apps/demo._build_inputs)."""
+    reference's post-increment frame counter; ``ego`` rows come from the
+    caller's IncrementalEgoMotion (bit-identical to slicing one monolithic
+    seed-0 stream) or are regenerated from frame 0 when omitted."""
     from ..data.synthetic import ego_motion_stream, simulated_detection_stream
 
     n = frames.shape[0]
@@ -42,7 +45,8 @@ def _chunk_inputs(cfg: PipelineConfig, frames: np.ndarray, start: int, dt: float
         capacity=cfg.detector.max_detections,
         start_frame_count=start + 1,
     )
-    ego = ego_motion_stream(start + n, dt=dt, seed=0)[start:]
+    if ego is None:
+        ego = ego_motion_stream(start + n, dt=dt, seed=0)[start:]
     inputs = {k: jnp.asarray(v) for k, v in dets.items()}
     inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
     if cfg.use_frames:
@@ -62,17 +66,27 @@ def run_stream(
     """Drive the fused pipeline from a NativeFrameSource with overlap.
 
     Returns (outs, stats): ``outs`` is the per-frame output dict stacked on
-    the host over all chunks (None when ``collect_host`` is False), and
-    ``stats`` reports wall time, device-only time, and the overlap ratio.
+    the host over all chunks (None when ``collect_host`` is False; {} when
+    the source yields zero frames), and ``stats`` holds
+    frames / wall_s / decode_s / fps (decode_s is the host time blocked in
+    the ring drain — time NOT overlapped with device execution).
+
+    A producer stall surfaces as TimeoutError from the source (see
+    NativeFrameSource.next_batch) rather than a silently truncated stream:
+    a timeout-shortened mid-stream chunk would advance the carried scan
+    state through padded frames and break the bit-identical contract.
 
     Every chunk has the same shape (the last one is padded), so exactly one
     XLA program is compiled and reused.  Pass a prebuilt ``runner`` (from
     `make_sequence_runner(cfg, donate=False)`) to amortize the jit build
     across calls — long-running consumers should always do this.
     """
+    from ..data.synthetic import IncrementalEgoMotion
+
     if runner is None:
         runner = make_sequence_runner(cfg, donate=False)
     state = initial_state(cfg)
+    ego_src = IncrementalEgoMotion(dt=dt, seed=0)
 
     t_wall0 = time.perf_counter()
     decode_s = 0.0
@@ -89,9 +103,14 @@ def run_stream(
             break
         n = frames.shape[0]
         if n < chunk:  # pad to the compiled shape; drop the tail later
+            # Safe only because a short batch means EXHAUSTION (timeouts
+            # raise in the source): this is the final chunk, so the state
+            # advanced through padded frames is never consumed.
             pad = np.repeat(frames[-1:], chunk - n, axis=0)
             frames = np.concatenate([frames, pad], axis=0)
-        _, inputs = _chunk_inputs(cfg, frames, start, dt)
+        _, inputs = _chunk_inputs(
+            cfg, frames, start, dt, ego=ego_src.take(frames.shape[0])
+        )
 
         # Dispatch is async: this returns before the device finishes, so the
         # next ring drain above runs concurrently with device execution.

@@ -22,9 +22,12 @@ class MetricsLogger:
 
     def log_frame(self, frame_idx: int, **metrics) -> Dict:
         rec = {"frame": frame_idx, **metrics}
-        self.records.append(rec)
         if self._fh is not None:
+            # Streaming to a file: don't ALSO accumulate every record in
+            # memory — a multi-hour session would grow without bound.
             self._fh.write(json.dumps(rec) + "\n")
+        else:
+            self.records.append(rec)
         return rec
 
     def log_frame_result(self, res) -> Dict:

@@ -183,9 +183,37 @@ class WordPieceTokenizer:
     # -- public API ------------------------------------------------------------
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for word in self._basic_tokenize(text):
-            out.extend(self._wordpiece(word))
+        # Special tokens appearing IN the text stay atomic (HF keeps them
+        # via never_split / the added-tokens trie); without this,
+        # '[SEP]' would basic-tokenize to '[', 'sep', ']'.
+        for part, is_special in self._split_on_special(text):
+            if is_special:
+                out.append(part)
+                continue
+            for word in self._basic_tokenize(part):
+                out.extend(self._wordpiece(word))
         return out
+
+    def _split_on_special(self, text: str):
+        """[(segment, is_special_token), ...] — special tokens matched
+        anywhere, like HF's added-tokens trie."""
+        import re
+
+        if not self.special_tokens:
+            return [(text, False)]
+        pat = "|".join(
+            re.escape(t) for t in sorted(self.special_tokens, key=len, reverse=True)
+        )
+        parts = []
+        pos = 0
+        for m in re.finditer(pat, text):
+            if m.start() > pos:
+                parts.append((text[pos : m.start()], False))
+            parts.append((m.group(0), True))
+            pos = m.end()
+        if pos < len(text):
+            parts.append((text[pos:], False))
+        return parts
 
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         ids = [self.vocab.get(t, self.unk_token_id) for t in self.tokenize(text)]

@@ -364,6 +364,9 @@ _TOKENIZER_SENTENCES = [
     "漢字 mixed with latin",  # CJK chars isolated
     "  spaced\tout\nwhitespace  ",
     "punct.every,where!now?",
+    # Special tokens in the text stay atomic (HF never_split/added-tokens).
+    "a photo [SEP] of traffic",
+    "[CLS] this [MASK] scene [SEP]",
 ]
 
 

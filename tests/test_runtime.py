@@ -63,11 +63,40 @@ def test_rawfile_truncated_stream_ends_cleanly(tmp_path):
         assert got.shape[0] == 3
 
 
-def test_missing_rawfile_ends_immediately(tmp_path):
-    with NativeFrameSource(
-        width=80, height=60, slots=3, num_frames=5, raw_path=str(tmp_path / "nope.raw")
-    ) as src:
-        assert src.next_frame(timeout_ms=500) is None
+def test_missing_rawfile_raises(tmp_path):
+    """A bad raw path is an error, not a silent empty stream — the caller
+    could not otherwise distinguish a typo from a legitimately empty
+    source."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        NativeFrameSource(
+            width=80, height=60, slots=3, num_frames=5,
+            raw_path=str(tmp_path / "nope.raw"),
+        )
+
+
+def test_invalid_ring_dimensions_raise():
+    import pytest
+
+    for kw in ({"slots": 0}, {"width": 0}, {"height": -1}):
+        with pytest.raises(ValueError):
+            NativeFrameSource(num_frames=1, **kw)
+
+
+def test_incremental_ego_motion_bit_identical():
+    """IncrementalEgoMotion chunks == one monolithic seed-0 stream, bit for
+    bit (the chunked stream driver depends on this for its exactness
+    contract)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        IncrementalEgoMotion,
+        ego_motion_stream,
+    )
+
+    want = ego_motion_stream(100, dt=1.0 / 30.0, seed=0)
+    inc = IncrementalEgoMotion(dt=1.0 / 30.0, seed=0)
+    got = np.concatenate([inc.take(n) for n in (7, 1, 30, 62)])
+    np.testing.assert_array_equal(got, want)
 
 
 def test_run_stream_chunked_matches_monolithic_scan(tmp_path):
