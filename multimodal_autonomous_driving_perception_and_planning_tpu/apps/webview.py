@@ -153,6 +153,11 @@ class DashboardData:
             )
         return json.dumps({"query": query, "frames": hits}).encode()
 
+    def finalize_tagger(self) -> None:
+        with self._lock:
+            if self.tagger is not None:
+                self.tagger.finalize()
+
 
 def _render_chunk(cfg, frames, dets, outs, start, bev, overlay, data):
     """Host-side rendering of one completed chunk; returns the per-frame
@@ -218,7 +223,7 @@ def process_into(
 
     from .. import DEFAULT_CONFIG, initial_state, make_sequence_runner
     from ..data.frames import SyntheticRoadGenerator
-    from ..data.synthetic import ego_motion_stream, simulated_detection_stream
+    from ..data.synthetic import IncrementalEgoMotion, simulated_detection_stream
     from ..tagging.auto_tagger import AutoTagger
     from ..viz import BEVRenderer, OverlayRenderer
     from .demo import _enable_persistent_compile_cache
@@ -251,6 +256,9 @@ def process_into(
         data.tagger = tagger
         bev = BEVRenderer(cfg.bev)
         overlay = OverlayRenderer()
+        # O(n)/chunk ego rows, bit-identical to one monolithic seed-0
+        # stream (same pattern as runtime/stream.py).
+        ego_src = IncrementalEgoMotion(dt=dt, seed=0)
 
         start = 0
         while start < num_frames:
@@ -270,7 +278,7 @@ def process_into(
                 capacity=cfg.detector.max_detections,
                 start_frame_count=start + 1,
             )
-            ego = ego_motion_stream(start + chunk, dt=dt, seed=0)[start:]
+            ego = ego_src.take(chunk)
             inputs = {k: jnp.asarray(v) for k, v in dets.items()}
             inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
             if use_frames:
@@ -288,8 +296,7 @@ def process_into(
                 *_render_chunk(cfg, frames, dets, outs, start, bev, overlay, data)
             )
             start += n
-        with data._lock:
-            tagger.finalize()
+        data.finalize_tagger()
     except Exception as e:  # surface in /status instead of dying silently
         data.error = f"{type(e).__name__}: {e}"
         raise

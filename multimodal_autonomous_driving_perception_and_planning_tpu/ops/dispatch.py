@@ -31,6 +31,17 @@ from typing import Any, Callable
 
 import jax
 
+ENV_BACKEND = "MADPP_DISPATCH_BACKEND"
+
+
+def env_backend() -> str | None:
+    """The process-wide dispatch pin from the environment, or None.
+
+    Read at trace time.  Used in place of a ``backend=None`` default both
+    here and by step factories that skip building the kernel branch
+    entirely when a non-TPU formulation is pinned (tagging/rules.py)."""
+    return os.environ.get(ENV_BACKEND) or None
+
 
 def kernel_or_xla(
     kernel_fn: Callable[..., Any],
@@ -52,7 +63,7 @@ def kernel_or_xla(
     suite fast.  An explicit ``backend`` argument always wins.
     """
     if backend is None:
-        backend = os.environ.get("MADPP_DISPATCH_BACKEND") or None
+        backend = env_backend()
     if backend is None:
         return jax.lax.platform_dependent(*args, tpu=kernel_fn, default=xla_fn)
     if backend == "tpu":

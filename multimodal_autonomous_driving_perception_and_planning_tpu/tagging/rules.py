@@ -647,9 +647,9 @@ def make_tagging_step(cfg: PipelineConfig, backend: str = None,
     # (oracle comparisons); interpret runs the kernel via the Pallas
     # interpreter on CPU (tests).
     if backend is None:
-        import os
+        from ..ops.dispatch import env_backend
 
-        backend = os.environ.get("MADPP_DISPATCH_BACKEND") or None
+        backend = env_backend()
     if backend is not None and backend != "tpu" and not interpret:
         return tagging_step
 
