@@ -14,6 +14,7 @@ process (CLAUDE.md rule: one TPU process at a time):
   python tools/tpu_checks.py yolox       # yolov8x full detect+NMS compile
   python tools/tpu_checks.py dispatch    # default lowering picks the kernels
   python tools/tpu_checks.py scan        # 300-frame scan: kernel vs XLA ids
+  python tools/tpu_checks.py scene       # reduced scene pass: tag parity on TPU
 """
 
 from __future__ import annotations
@@ -245,6 +246,72 @@ def check_scan() -> None:
     print("scan ok: 300-frame track ids/match/bbox bit-identical, kernel vs XLA")
 
 
+def check_scene() -> None:
+    """Reduced scene-feature pass vs the full-resolution reference-style
+    pass, both on TPU: road-type tags (and the thresholded conditions)
+    must be exactly equal over the synthetic road stream.  This is the
+    on-device twin of tests/test_lanes.py::test_reduced_scene_pass_tag_
+    equivalent — TPU matmul/accumulation numerics must not move any
+    thresholded feature across its threshold (scene_classifier.py:145-207
+    consumes booleans)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+        make_sequence_runner,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.frames import (
+        SyntheticRoadGenerator,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.data.synthetic import (
+        ego_motion_stream,
+        simulated_detection_stream,
+    )
+
+    n = 40
+    base = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    assert base.lanes.scene_downsample == 2 and not base.lanes.scene_refine
+    full_lanes = base.lanes.__class__(
+        **{**base.lanes.__dict__, "scene_downsample": 1, "scene_refine": True}
+    )
+    full = base.replace(lanes=full_lanes)
+
+    gen = SyntheticRoadGenerator(base.frame_width, base.frame_height)
+    frames = gen.generate_frames(n)
+    dets = simulated_detection_stream(n)
+    ego = ego_motion_stream(n, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
+    inputs["frame"] = jnp.asarray(np.ascontiguousarray(frames, np.uint8))
+
+    outs = {}
+    for name, cfg in (("reduced", base), ("full", full)):
+        t0 = time.time()
+        run = make_sequence_runner(cfg, donate=False)
+        _, o = run(initial_state(cfg), inputs)
+        outs[name] = jax.tree_util.tree_map(np.asarray, o)
+        print(f"  {name} pass: {time.time() - t0:.1f}s incl. compile")
+
+    r, fl = outs["reduced"]["tags"], outs["full"]["tags"]
+    np.testing.assert_array_equal(r["road_type"], fl["road_type"])
+    np.testing.assert_array_equal(r["road_type_raw"], fl["road_type_raw"])
+    np.testing.assert_allclose(
+        r["road_type_confidence"], fl["road_type_confidence"], atol=1e-6
+    )
+    for k in ("cond_night", "cond_day", "cond_congested", "cond_clear", "cond_fog"):
+        np.testing.assert_array_equal(r[k], fl[k], err_msg=k)
+    np.testing.assert_array_equal(
+        outs["reduced"]["lane_obs"].left_fit, outs["full"]["lane_obs"].left_fit
+    )
+    print(
+        "scene ok: reduced pass tag-identical to the full pass on "
+        + jax.default_backend()
+    )
+
+
 def check_dispatch() -> None:
     """Lowering-time dispatch sanity on the real runtime: a default-backend
     jit of a kernel_or_xla op must lower to the Mosaic kernel (the tunnel
@@ -288,6 +355,7 @@ def main() -> int:
         "yolol": lambda: check_yolo_variant("l"),
         "yolox": lambda: check_yolo_variant("x"),
         "scan": check_scan,
+        "scene": check_scene,
     }[which]()
     return 0
 
