@@ -220,3 +220,74 @@ def test_kalman_bank_smooths_jitter_and_resets_on_id_change():
 
     # Reset at the id change: smoothed position snaps to the measurement.
     np.testing.assert_allclose(sm[25], noisy[25], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dense-traffic churn: crowded birth/death semantics at the benchmarked scale
+# ---------------------------------------------------------------------------
+
+
+def test_tracker_dense_churn_matches_oracle():
+    """Crowded stream (up to 60 concurrent objects, 128 slots — the dense
+    bench config) with objects appearing/disappearing every frame: confirmed
+    ids, boxes, and lifecycle counters must stay bit-identical to the
+    dict-based oracle (multi_object_tracker.py:166-241 semantics).  The
+    kernel-vs-XLA fuzz (test_tracker_pallas) proves the Pallas kernel equals
+    this XLA path, so oracle parity here pins BOTH formulations' semantics
+    at high occupancy — crowded birth compaction order, mass deaths, and
+    IoU ties on the quantized grid — which the persistent-agent bench
+    stream never exercises."""
+    P = 60  # object pool; <=2 live tracks per object keeps peak slots < 128
+    T = 100
+    cfg = TrackerConfig(max_tracks=128)
+    table = TrackTable.empty(cfg.max_tracks, cfg.trajectory_length)
+    oracle = OracleTracker(
+        iou_threshold=cfg.iou_threshold,
+        max_age=cfg.max_age,
+        min_hits=cfg.min_hits,
+        trajectory_length=cfg.trajectory_length,
+    )
+    step = jax.jit(lambda t, d: tracker_update(t, d, cfg))
+
+    rng = np.random.default_rng(17)
+    gx, gy = np.meshgrid(np.arange(10), np.arange(6))
+    cx = (gx.reshape(-1)[:P] * 60 + 40).astype(np.float64)
+    cy = (gy.reshape(-1)[:P] * 72 + 40).astype(np.float64)
+    obj_cls = rng.integers(0, 8, P)
+    hidden_until = np.zeros(P, np.int64)
+    peak = 0
+
+    for f in range(1, T + 1):
+        # Random-walk the centers; quantize boxes to multiples of 4 so
+        # equal-IoU ties actually occur (tie-break order is the contract).
+        cx += rng.normal(0, 2.0, P)
+        cy += rng.normal(0, 2.0, P)
+        for i in rng.choice(P, size=2, replace=False):
+            if rng.random() < 0.4:
+                hidden_until[i] = f + rng.integers(1, 40)
+        vis = np.flatnonzero(hidden_until <= f)
+        qx = np.round(cx[vis] / 4) * 4
+        qy = np.round(cy[vis] / 4) * 4
+        boxes = np.stack([qx, qy, qx + 60, qy + 44], axis=1).astype(np.float32)
+        cls = obj_cls[vis]
+        confs = np.round(rng.uniform(0.5, 1.0, len(vis)) * 20) / 20
+
+        table, _ = step(table, to_dets(boxes, cls, confs, capacity=64))
+        want = oracle.update([tuple(b) for b in boxes], cls, confs)
+        peak = max(peak, len(oracle.tracks))
+        assert len(oracle.tracks) <= cfg.max_tracks, "stream outgrew the table"
+
+        order, n = confirmed_order(table, cfg.min_hits)
+        got = confirmed_snapshot(table, order, n)
+        want_rows = [
+            (t.track_id, tuple(float(v) for v in t.bbox), t.hits, t.misses, t.age)
+            for t in sorted(want, key=lambda t: t.track_id)
+        ]
+        assert len(got) == len(want_rows), f"frame {f}: count mismatch"
+        for g, w in zip(got, want_rows):
+            assert g[0] == w[0], f"frame {f}: id mismatch {g[0]} vs {w[0]}"
+            np.testing.assert_allclose(g[1], w[1], atol=1e-4)
+            assert g[2:] == w[2:], f"frame {f}: lifecycle mismatch {g} vs {w}"
+
+    # The stream must actually have been dense (not a trivial re-run).
+    assert peak >= 55, peak
