@@ -277,3 +277,30 @@ def test_nms_suppression_chain_fixpoint():
     got_boxes = np.asarray(got.boxes)[np.asarray(got.valid)]
     np.testing.assert_allclose(got_boxes, boxes[want], atol=1e-3)
     assert len(want) == (n + 1) // 2  # alternating keep pattern
+
+
+def test_nms_matches_oracle_large_pool_beyond_kernel_cap():
+    """pre_topk > 512 takes the XLA-only route (ops/nms.py caps the Pallas
+    keep-mask kernel at k <= 512 for VMEM); the public entry point must
+    still match the sequential oracle there."""
+    rng = np.random.default_rng(11)
+    n = 1024
+    cx = rng.uniform(0, 600, n)
+    cy = rng.uniform(0, 400, n)
+    w = rng.uniform(20, 120, n)
+    h = rng.uniform(20, 120, n)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
+    scores = rng.uniform(0, 1, n)
+    classes = rng.integers(0, 4, n)
+    want = oracle_nms(boxes, scores, classes)
+    got = nms(
+        jnp.asarray(boxes, jnp.float32),
+        jnp.asarray(scores, jnp.float32),
+        jnp.asarray(classes, jnp.int32),
+        max_det=n,
+        pre_topk=n,
+    )
+    got_boxes = np.asarray(got.boxes)[np.asarray(got.valid)]
+    want_boxes = boxes[want]
+    assert len(got_boxes) == len(want_boxes)
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-3)
