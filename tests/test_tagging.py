@@ -255,3 +255,102 @@ def test_extreme_maneuvers_match_oracle_all_branches():
     ):
         seen = set(np.asarray(tags[name]).astype(int).tolist())
         assert seen == set(range(len(enum))), (name, [enum[i] for i in sorted(seen)])
+
+
+def test_staged_interactions_match_oracle_rare_branches():
+    """near_miss, pedestrian_crossing/waiting, cyclist_nearby, and the full
+    risk ladder never occur on the simulated stream (its boxes sit at
+    mid-frame distances), so those interaction-engine branches
+    (interaction_detector.py:268-398) were never compared device-vs-oracle.
+    A staged detection script fires each one — ego stationary for the
+    graded risks (a moving ego trips TTC-critical for any close object),
+    then moving for the TTC path — and every frame must match the oracle.
+
+    Scenario (640x480; distances via the monocular heuristic
+    interaction_detector.py:224-247): a lone cyclist (MEDIUM), a pedestrian
+    waiting off-center (LOW), the same pedestrian crossing center (HIGH),
+    a car being followed, a huge near-field box (near_miss, CRITICAL), and
+    a followed car under a 10 m/s ego (TTC < 1.5 s, CRITICAL)."""
+    T, CAP = 100, 8
+    bbox = np.zeros((T, CAP, 4), np.float32)
+    cls = np.zeros((T, CAP), np.int32)
+    conf = np.zeros((T, CAP), np.float32)
+    valid = np.zeros((T, CAP), bool)
+
+    def put(f, slot, cx, y2, w, h, c):
+        bbox[f, slot] = [cx - w / 2, y2 - h, cx + w / 2, y2]
+        cls[f, slot] = c
+        conf[f, slot] = 0.9
+        valid[f, slot] = True
+
+    for f in range(3, 19):
+        put(f, 1, 500, 400, 40, 60, 3)  # cyclist alone -> MEDIUM
+    for f in range(19, 32):
+        put(f, 0, 100, 460, 40, 90, 2)  # pedestrian waiting (off-center)
+    for f in range(32, 46):
+        put(f, 0, 320, 460, 40, 90, 2)  # pedestrian crossing -> HIGH
+    for f in range(46, 59):
+        put(f, 2, 320, 300, 60, 70, 0)  # following car (stationary ego)
+    for f in range(59, 68):
+        put(f, 3, 320, 480, 200, 390, 0)  # near-field box -> near_miss
+    for f in range(72, 100):
+        put(f, 4, 320, 300, 60, 70, 0)  # followed car, moving ego -> TTC
+
+    ego = np.zeros((T, 4), np.float32)
+    x = 0.0
+    for f in range(T):
+        v = 10.0 if f >= 70 else 0.0
+        x += v / 30.0
+        ego[f] = [x, 0.0, v, 0.0]
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    inputs = {
+        "bbox": jnp.asarray(bbox),
+        "class_id": jnp.asarray(cls),
+        "confidence": jnp.asarray(conf),
+        "valid": jnp.asarray(valid),
+        "ego_measurement": jnp.asarray(ego),
+    }
+    run = make_sequence_runner(cfg, donate=False)
+    _, outs = run(initial_state(cfg), inputs)
+    tags = outs["tags"]
+    vs = outs["vehicle_state"]
+
+    interaction = OracleInteractionDetector(
+        frame_shape=(cfg.frame_height, cfg.frame_width)
+    )
+    for f in range(T):
+        speed = float(np.asarray(vs.speed)[f])
+        tracks = device_confirmed_tracks(outs, f)
+        want = interaction.detect(tracks, speed)
+        assert int(np.asarray(tags["primary_interaction"])[f]) == want["primary"], f
+        assert int(np.asarray(tags["overall_risk"])[f]) == want["overall"], f
+        want_present = {
+            INTERACTIONS.index(i["type"])
+            for i in want["interactions"]
+            if i["conf"] > 0.5
+        }
+        got_present = set(np.flatnonzero(np.asarray(tags["interaction_present"])[f]))
+        assert got_present == want_present, (f, got_present, want_present)
+        if tracks:
+            np.testing.assert_allclose(
+                float(np.asarray(tags["closest_agent_distance"])[f]),
+                want["min_dist"],
+                atol=1e-3,
+            )
+
+    # Branch-coverage guarantees.
+    fired = {
+        INTERACTIONS[i]
+        for i in np.flatnonzero(np.asarray(tags["interaction_present"]).any(axis=0))
+    }
+    assert fired >= {
+        "following_vehicle",
+        "pedestrian_crossing",
+        "pedestrian_waiting",
+        "cyclist_nearby",
+        "near_miss",
+    }, fired
+    risks = set(np.asarray(tags["overall_risk"]).astype(int).tolist())
+    assert risks == {0, 1, 2, 3}, risks  # low, medium, high, critical
+    assert int(np.asarray(tags["has_min_ttc"]).sum()) > 0
