@@ -354,3 +354,115 @@ def test_staged_interactions_match_oracle_rare_branches():
     risks = set(np.asarray(tags["overall_risk"]).astype(int).tolist())
     assert risks == {0, 1, 2, 3}, risks  # low, medium, high, critical
     assert int(np.asarray(tags["has_min_ttc"]).sum()) > 0
+
+
+def test_scene_feature_sweep_matches_oracle_all_road_types():
+    """Every reachable road type (intersection, highway, urban — scored and
+    default — residential) and every condition branch (night/day, fog,
+    congested/clear) compared device-vs-oracle.  The pipeline streams only
+    ever show one road regime, so the scored-heuristic branches
+    (scene_classifier.py:145-207) and the majority-vote smoothing across
+    regime CHANGES were never all taken.  Drives the tagging step directly
+    in frames mode with crafted feature segments."""
+    import jax
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.tagging.rules import (
+        make_tagging_step,
+        ROAD_TYPES,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.types import (
+        Detections,
+        LaneObservation,
+        TaggingState,
+        TrackTable,
+        VehicleState,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=True, enable_tagging=True)
+    step = jax.jit(make_tagging_step(cfg, backend="cpu"))
+    t_cap = cfg.tracker.max_tracks
+    table = TrackTable.empty(t_cap, cfg.tracker.trajectory_length)
+
+    D = 8
+
+    def dets_for(classes):
+        valid = np.zeros(D, bool)
+        cls = np.zeros(D, np.int32)
+        valid[: len(classes)] = True
+        cls[: len(classes)] = classes
+        bbox = np.zeros((D, 4), np.float32)
+        bbox[: len(classes)] = [100, 100, 140, 140]
+        return Detections(
+            bbox=jnp.asarray(bbox),
+            class_id=jnp.asarray(cls),
+            confidence=jnp.asarray(np.where(valid, 0.9, 0.0), jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+
+    def lane(both):
+        fit = jnp.asarray([0.0, 0.0, 200.0], jnp.float32)
+        rfit = jnp.asarray([0.0, 0.0, 440.0], jnp.float32)
+        return LaneObservation(
+            left_fit=fit,
+            right_fit=rfit,
+            left_found=jnp.asarray(both),
+            right_found=jnp.asarray(both),
+            left_confidence=jnp.float32(0.8 if both else 0.0),
+            right_confidence=jnp.float32(0.8 if both else 0.0),
+            offset_px=jnp.float32(0.0),
+            has_offset=jnp.asarray(both),
+        )
+
+    # (feats, det class ids, both_lanes, speed) per 12-frame segment.
+    LOW = dict(center_edge_density=0.0, num_long_lines=0, avg_line_length=0.0,
+               green_ratio=0.0, brightness=128.0, laplacian_var=1000.0)
+    segments = [
+        ({**LOW, "center_edge_density": 0.3}, [], False, 5.0),          # intersection
+        ({**LOW, "num_long_lines": 8, "avg_line_length": 200.0}, [], True, 20.0),  # highway
+        ({**LOW, "green_ratio": 0.3}, [0], False, 5.0),                 # residential
+        ({**LOW, "brightness": 30.0, "laplacian_var": 50.0}, [], False, 1.0),  # urban default, night+fog+congested
+        (LOW, [6, 0, 0, 0, 0], False, 5.0),                             # urban scored (traffic light + 4 cars)
+    ]
+
+    seen = set()
+    for feats_np, classes, both, speed in segments:
+        # Fresh smoothing state per segment: the reference's vote-mutation
+        # quirk (scene_classifier.py:282-296, reproduced exactly — the
+        # smoothed value overwrites the history entry) makes the majority
+        # vote sticky, so a threaded state would lock segment 1's road type
+        # forever; per-segment resets let every scored branch surface.
+        state = TaggingState.initial(
+            cfg.tagging.scene_smoothing_window, cfg.tagging.maneuver_history, t_cap
+        )
+        oracle = OracleSceneClassifier(window=cfg.tagging.scene_smoothing_window)
+        for _ in range(12):
+            feats = {
+                k: (jnp.int32(v) if k == "num_long_lines" else jnp.float32(v))
+                for k, v in feats_np.items()
+            }
+            vs = VehicleState(
+                x=jnp.float32(0.0), y=jnp.float32(0.0), vx=jnp.float32(speed),
+                vy=jnp.float32(0.0), heading=jnp.float32(0.0),
+                speed=jnp.float32(speed), acceleration=jnp.float32(0.0),
+                yaw_rate=jnp.float32(0.0), timestamp=jnp.float32(0.0),
+                pos_uncertainty=jnp.float32(1.0), vel_uncertainty=jnp.float32(1.0),
+            )
+            state, tags = step(
+                state, dets_for(classes), table, None, None, vs, lane(both), feats
+            )
+            want_rt, want_conf = oracle.classify(feats_np, classes, [0.9] * len(classes), both)
+            got_rt = int(np.asarray(tags["road_type"]))
+            assert got_rt == want_rt, (ROAD_TYPES[got_rt], ROAD_TYPES[want_rt])
+            np.testing.assert_allclose(
+                float(np.asarray(tags["road_type_confidence"])), want_conf, atol=1e-3
+            )
+            seen.add(got_rt)
+            # Conditions: thresholds from scene_classifier.py:230-259.
+            assert bool(np.asarray(tags["cond_night"])) == (feats_np["brightness"] < 60)
+            assert bool(np.asarray(tags["cond_day"])) == (feats_np["brightness"] > 120)
+            assert bool(np.asarray(tags["cond_fog"])) == (feats_np["laplacian_var"] < 100)
+            assert bool(np.asarray(tags["cond_congested"])) == (speed < 2.0)
+            assert bool(np.asarray(tags["cond_clear"])) == (speed > 15.0)
+
+    want_types = {ROAD_TYPES.index(r) for r in ("intersection", "highway", "urban", "residential")}
+    assert seen >= want_types, {ROAD_TYPES[i] for i in seen}
