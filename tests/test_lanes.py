@@ -214,3 +214,27 @@ def test_reduced_scene_pass_tag_equivalent():
     np.testing.assert_array_equal(
         outs["reduced"]["lane_obs"].left_fit, outs["full"]["lane_obs"].left_fit
     )
+
+
+def test_lane_step_single_sided_lane():
+    """Only a left-side line in view: the left/right separation (slope sign +
+    midpoint side, lane_detector.py:105-134) must report left_found without
+    right_found, fit the drawn line, and leave has_offset off (the offset
+    needs both lanes, lane_detector.py:253-272)."""
+    cfg = DEFAULT_CONFIG
+    frame = np.zeros((cfg.frame_height, cfg.frame_width, 3), np.uint8)
+    # Negative slope, midpoint left of center, inside the ROI trapezoid.
+    cv2.line(frame, (160, 470), (280, 295), (255, 255, 255), 3)
+    step = make_lane_step(cfg)
+    state, obs, _ = step(LaneState.initial(), jnp.asarray(frame))
+
+    assert bool(obs.left_found) and not bool(obs.right_found)
+    assert not bool(obs.has_offset)
+    fit = np.asarray(obs.left_fit)
+    # The drawn segment: x as a function of y along (160,470)-(280,295).
+    for y in (460.0, 310.0):
+        want_x = 160 + (280 - 160) * (470 - y) / (470 - 295)
+        got_x = fit[0] * y * y + fit[1] * y + fit[2]
+        assert abs(got_x - want_x) < 10.0, (y, got_x, want_x)
+    # The EMA carry holds only the left side.
+    assert bool(state.left_valid) and not bool(state.right_valid)
