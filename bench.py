@@ -33,15 +33,29 @@ REPEATS = 10
 DEVICE_PROBE_TIMEOUT_S = 300.0
 
 
-def _probe_device() -> str | None:
+def _probe_device(attempts: int = 2) -> str | None:
     """Return the default platform, or None if the backend is unreachable.
 
     The tunnel-attached TPU runtime hangs *indefinitely* inside PJRT client
     init when the tunnel is down (observed 2026-08-18: >240 s with no error),
     and that hang is inside a C call no signal can interrupt.  Probing in a
     subprocess with a hard timeout turns an infinite bench hang into a fast,
-    honest failure.  A healthy backend answers in a few seconds.
+    honest failure.  A healthy backend answers in a few seconds; one retry
+    rides out a transient tunnel flap without masking a real outage.
     """
+    for attempt in range(attempts):
+        platform = _probe_device_once()
+        if platform is not None:
+            return platform
+        if attempt + 1 < attempts:
+            print(
+                f"# device probe attempt {attempt + 1} failed; retrying",
+                file=sys.stderr,
+            )
+    return None
+
+
+def _probe_device_once() -> str | None:
     try:
         proc = subprocess.run(
             # Re-apply JAX_PLATFORMS over the config: this environment's
