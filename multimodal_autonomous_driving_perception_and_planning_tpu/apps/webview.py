@@ -57,6 +57,7 @@ _PAGE = """<!DOCTYPE html>
     <input id="q" placeholder="tag or description, e.g. risk_high">
     <button onclick="search()">Search</button><pre id="results"></pre></div>
 </div>
+<div class="card"><h3>Ego state history</h3><div class="row" id="charts"></div></div>
 <script>
 const slider = document.getElementById('slider');
 let firstReady = false;
@@ -86,6 +87,32 @@ function poll() {
 function refreshStats() {
   fetch('/stats').then(r => r.json()).then(d => {
     document.getElementById('stats').textContent = JSON.stringify(d, null, 1);
+  });
+  refreshCharts();
+}
+function sparkline(title, xs, ys) {
+  const W = 360, H = 140, P = 26;
+  const xmin = Math.min(...xs), xmax = Math.max(...xs);
+  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  const sx = v => P + (W - 2*P) * (xmax > xmin ? (v - xmin) / (xmax - xmin) : 0.5);
+  const sy = v => H - P - (H - 2*P) * (ymax > ymin ? (v - ymin) / (ymax - ymin) : 0.5);
+  const pts = xs.map((v, i) => sx(v).toFixed(1) + ',' + sy(ys[i]).toFixed(1)).join(' ');
+  return `<div><h4 style="margin:4px 0">${title}</h4>` +
+    `<svg width="${W}" height="${H}" style="background:#161616;border-radius:6px">` +
+    `<polyline points="${pts}" fill="none" stroke="#3c79a8" stroke-width="1.5"/>` +
+    `<text x="4" y="${H-8}" fill="#888" font-size="10">${ymin.toFixed(1)}</text>` +
+    `<text x="4" y="14" fill="#888" font-size="10">${ymax.toFixed(1)}</text>` +
+    `</svg></div>`;
+}
+function refreshCharts() {
+  fetch('/history').then(r => r.json()).then(d => {
+    if (!d.speed_kmh || !d.speed_kmh.length) return;
+    const f = d.speed_kmh.map((_, i) => i);
+    document.getElementById('charts').innerHTML =
+      sparkline('Speed (km/h)', f, d.speed_kmh) +
+      sparkline('Heading (deg)', f, d.heading_deg) +
+      sparkline('Acceleration (m/s²)', f, d.accel) +
+      sparkline('Trajectory (x, y)', d.x, d.y);
   });
 }
 function search() {
@@ -143,6 +170,17 @@ class DashboardData:
         with self._lock:
             stats = self.tagger.get_tag_statistics() if self.tagger else {}
             return json.dumps(stats).encode()
+
+    def history_json(self) -> bytes:
+        """Ego state-history series for the 2x2 plots (the reference's
+        create_state_plots: speed / heading / acceleration / XY trajectory,
+        app.py:194-257)."""
+        with self._lock:
+            series = {
+                k: [s[k] for s in self.states]
+                for k in ("speed_kmh", "heading_deg", "accel", "x", "y")
+            }
+        return json.dumps(series).encode()
 
     def search_json(self, query: str) -> bytes:
         with self._lock:
@@ -373,6 +411,8 @@ def make_handler(data: DashboardData):
                 )
             elif url.path == "/stats":
                 self._send(data.stats_json(), "application/json")
+            elif url.path == "/history":
+                self._send(data.history_json(), "application/json")
             elif url.path == "/search":
                 query = q.get("q", [""])[0]
                 self._send(data.search_json(query), "application/json")

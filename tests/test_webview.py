@@ -37,6 +37,13 @@ def test_webview_progressive_endpoints():
         stats = json.loads(urllib.request.urlopen(base + "/stats").read())
         assert stats["total_frames"] == 8
 
+        # Ego state-history series for the 2x2 plots (reference
+        # create_state_plots, app.py:194-257): one point per ready frame.
+        hist = json.loads(urllib.request.urlopen(base + "/history").read())
+        for k in ("speed_kmh", "heading_deg", "accel", "x", "y"):
+            assert len(hist[k]) == 8, k
+        assert all(isinstance(v, (int, float)) for v in hist["speed_kmh"])
+
         road = tags["all_tags"][0]
         hits = json.loads(
             urllib.request.urlopen(base + "/search?q=" + road).read()
