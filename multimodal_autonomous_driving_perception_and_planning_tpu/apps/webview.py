@@ -52,7 +52,8 @@ _PAGE = """<!DOCTYPE html>
     <h3>Vehicle state</h3><pre id="state"></pre></div>
 </div>
 <div class="row">
-  <div class="card" style="flex:1"><h3>Tag statistics</h3><pre id="stats"></pre></div>
+  <div class="card" style="flex:1"><h3>Tag statistics</h3>
+    <div id="tagbars"></div><pre id="stats"></pre></div>
   <div class="card" style="flex:1"><h3>Search</h3>
     <input id="q" placeholder="tag or description, e.g. risk_high">
     <button onclick="search()">Search</button><pre id="results"></pre></div>
@@ -87,6 +88,13 @@ function poll() {
 function refreshStats() {
   fetch('/stats').then(r => r.json()).then(d => {
     document.getElementById('stats').textContent = JSON.stringify(d, null, 1);
+    const freq = Object.entries(d.tag_frequency || {}).slice(0, 15);
+    document.getElementById('tagbars').innerHTML = freq.map(([tag, v]) =>
+      `<div style="display:flex;align-items:center;margin:2px 0;font-size:12px">` +
+      `<span style="width:160px">${tag}</span>` +
+      `<div style="background:#3c79a8;height:12px;width:${(160*v).toFixed(0)}px"></div>` +
+      `<span style="margin-left:6px;color:#888">${(100*v).toFixed(0)}%</span></div>`
+    ).join('');
   });
   refreshCharts();
 }
