@@ -44,7 +44,11 @@ _PAGE = """<!DOCTYPE html>
   <div id="progress"><div id="bar"></div></div>
   <div><span id="ready">0</span> / <span id="total">{total}</span> frames processed</div>
   <input type="range" id="slider" min="0" max="0" value="0">
-  <div>Frame <span id="fidx">0</span></div>
+  <div>Frame <span id="fidx">0</span>
+    <button id="play" onclick="toggle()">&#9654; Play</button>
+    <select id="speed"><option value="0.5">0.5x</option>
+      <option value="1" selected>1x</option><option value="2">2x</option>
+      <option value="4">4x</option></select></div>
 </div>
 <div class="row">
   <div class="card"><h3>Combined view</h3><img id="view" src="" width="900"></div>
@@ -72,6 +76,19 @@ function update(i) {
   });
 }
 slider.oninput = () => update(slider.value);
+let playing = null;
+function toggle() {
+  // Autoplay at 30 fps x speed, like the reference's rerun loop
+  // (app.py:780-785: delay = 0.033 / speed); wraps at the last ready frame.
+  if (playing) { clearInterval(playing); playing = null;
+    document.getElementById('play').innerHTML = '&#9654; Play'; return; }
+  const speed = parseFloat(document.getElementById('speed').value);
+  playing = setInterval(() => {
+    let i = (parseInt(slider.value) + 1) % (parseInt(slider.max) + 1);
+    slider.value = i; update(i);
+  }, 33 / speed);
+  document.getElementById('play').innerHTML = '&#9646;&#9646; Pause';
+}
 function poll() {
   fetch('/status').then(r => r.json()).then(d => {
     document.getElementById('ready').textContent = d.ready;
