@@ -22,6 +22,13 @@ def main():
     parser.add_argument("--video", type=str, default=None)
     parser.add_argument("--frames", type=int, default=120)
     parser.add_argument("--port", type=int, default=8700)
+    parser.add_argument(
+        "--host",
+        type=str,
+        default="127.0.0.1",
+        help="bind address for the web backend (default loopback; "
+        "0.0.0.0 exposes the dashboard deliberately)",
+    )
     args, _ = parser.parse_known_args()
 
     backend = args.backend
@@ -55,7 +62,12 @@ def main():
         return
     from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import serve
 
-    serve(port=args.port, num_frames=args.frames, video_path=args.video)
+    serve(
+        port=args.port,
+        num_frames=args.frames,
+        video_path=args.video,
+        host=args.host,
+    )
 
 
 if __name__ == "__main__":

@@ -60,7 +60,10 @@ _PAGE = """<!DOCTYPE html>
     <div id="tagbars"></div><pre id="stats"></pre></div>
   <div class="card" style="flex:1"><h3>Search</h3>
     <input id="q" placeholder="tag or description, e.g. risk_high">
-    <button onclick="search()">Search</button><pre id="results"></pre></div>
+    <button onclick="search()">Search</button><pre id="results"></pre>
+    <h3>Database</h3>
+    <button onclick="saveDb()">&#128190; Save tags to database</button>
+    <pre id="saveres"></pre></div>
 </div>
 <div class="card"><h3>Ego state history</h3><div class="row" id="charts"></div></div>
 <script>
@@ -138,6 +141,11 @@ function refreshCharts() {
       sparkline('Heading (deg)', f, d.heading_deg) +
       sparkline('Acceleration (m/s²)', f, d.accel) +
       sparkline('Trajectory (x, y)', d.x, d.y);
+  });
+}
+function saveDb() {
+  fetch('/save', {method: 'POST'}).then(r => r.json()).then(d => {
+    document.getElementById('saveres').textContent = JSON.stringify(d, null, 1);
   });
 }
 function search() {
@@ -220,6 +228,25 @@ class DashboardData:
         with self._lock:
             if self.tagger is not None:
                 self.tagger.finalize()
+
+    def save_to_db(self, db_path: str = "driving_tags.db") -> bytes:
+        """Persist the session to SQLite (the reference's "Save Tags to
+        Database" button, app.py:522-529: finalize then save_all_tags)."""
+        from ..database import TagDatabase
+
+        with self._lock:
+            if self.tagger is None:
+                return json.dumps({"error": "no tagging session"}).encode()
+            self.tagger.finalize()
+            db = TagDatabase(db_path)
+            try:
+                count = db.save_all_tags(self.tagger)
+                sid = self.tagger.session.session_id
+            finally:
+                db.close()
+        return json.dumps(
+            {"session": sid, "frames_saved": count, "db_path": db_path}
+        ).encode()
 
 
 def _render_chunk(cfg, frames, dets, outs, start, bev, overlay, data):
@@ -445,6 +472,16 @@ def make_handler(data: DashboardData):
                 self.send_response(404)
                 self.end_headers()
 
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path == "/save":
+                q = parse_qs(url.query)
+                db_path = q.get("db", ["driving_tags.db"])[0]
+                self._send(data.save_to_db(db_path), "application/json")
+            else:
+                self.send_response(404)
+                self.end_headers()
+
     return Handler
 
 
@@ -454,10 +491,14 @@ def serve(
     video_path: Optional[str] = None,
     block: bool = True,
     progressive: bool = True,
+    host: str = "127.0.0.1",
 ):
     """Start the dashboard.  With ``progressive`` (default) the server is
     reachable immediately and frames appear as chunks complete; otherwise
-    everything is processed before binding the port (round-1 behavior)."""
+    everything is processed before binding the port (round-1 behavior).
+    Binds loopback by default (same policy as apps/serve.py — POST /save
+    writes a caller-named SQLite file, which must not be remotely
+    reachable); pass ``host="0.0.0.0"`` to expose it deliberately."""
     data = DashboardData(total=num_frames)
     if progressive:
         worker = threading.Thread(
@@ -470,7 +511,7 @@ def serve(
     else:
         print(f"Processing {num_frames} frames through the device pipeline...")
         process_into(data, num_frames, video_path)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(data))
+    server = ThreadingHTTPServer((host, port), make_handler(data))
     server.dashboard_data = data  # for tests / callers
     print(f"Dashboard: http://localhost:{port}/")
     if block:

@@ -2,12 +2,13 @@
 
 import json
 import time
+import urllib.parse
 import urllib.request
 
 from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import serve
 
 
-def test_webview_progressive_endpoints():
+def test_webview_progressive_endpoints(tmp_path):
     server = serve(port=8719, num_frames=8, block=False, progressive=True)
     try:
         base = "http://127.0.0.1:8719"
@@ -53,6 +54,24 @@ def test_webview_progressive_endpoints():
         # Out-of-range frame index clamps instead of erroring.
         jpg2 = urllib.request.urlopen(base + "/frame?i=999").read()
         assert jpg2[:2] == b"\xff\xd8"
+
+        # POST /save persists the session to SQLite (reference app.py:522-529)
+        # and the saved rows answer a tag query.
+        db = str(tmp_path / "tags.db")
+        req = urllib.request.Request(
+            base + "/save?db=" + urllib.parse.quote(db), method="POST"
+        )
+        saved = json.loads(urllib.request.urlopen(req).read())
+        assert saved["frames_saved"] == 8 and saved["db_path"] == db
+        from multimodal_autonomous_driving_perception_and_planning_tpu.database import (
+            TagDatabase,
+        )
+
+        tdb = TagDatabase(db)
+        try:
+            assert len(tdb.search_by_tag(road)) == len(hits["frames"])
+        finally:
+            tdb.close()
 
         # Non-numeric index answers 400, not a dropped connection.
         try:
