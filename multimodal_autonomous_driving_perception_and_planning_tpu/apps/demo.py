@@ -28,6 +28,7 @@ def _build_inputs(
     use_frames: bool,
     cfg,
     detector=None,
+    start_frame: int = 0,
 ):
     import jax.numpy as jnp
 
@@ -49,8 +50,12 @@ def _build_inputs(
             height=cfg.frame_height,
             width=cfg.frame_width,
             capacity=cfg.detector.max_detections,
+            start_frame_count=start_frame + 1,
         )
-    ego = ego_motion_stream(num_frames, dt=dt, seed=0)
+    # Generate-then-slice keeps the segment's measurements bit-identical to
+    # the same rows of one monolithic stream (the chunk-chaining contract,
+    # runtime/stream.py) — the noise draw order depends only on the seed.
+    ego = ego_motion_stream(start_frame + num_frames, dt=dt, seed=0)[start_frame:]
     inputs = {k: jnp.asarray(v) for k, v in dets.items()}
     inputs["ego_measurement"] = jnp.asarray(ego, jnp.float32)
     if use_frames:
@@ -86,6 +91,9 @@ def run_demo(
     yolo: bool = False,
     weights: str = None,
     yolo_img_size: int = 640,
+    start_frame: int = 0,
+    resume: str = None,
+    save_state: str = None,
 ):
     import cv2
     import jax
@@ -120,8 +128,10 @@ def run_demo(
         # YOLO mode consumes pixels even when the lane stack is off
         # (--no-lanes): never hand it the 1x1 placeholders.
         need_pixels = use_frames or yolo
+        # Generate-then-slice: frame start_frame+i here is bit-identical to
+        # frame start_frame+i of a run that started at 0 (segmented resume).
         frames = (
-            gen.generate_frames(n)
+            gen.generate_frames(start_frame + n)[start_frame:]
             if need_pixels
             else np.zeros((n, 1, 1, 3), np.uint8)
         )
@@ -144,9 +154,10 @@ def run_demo(
             f"      Video info: {loader.total_frames} frames, {loader.fps:.1f} FPS, "
             f"{loader.get_info()['width']}x{loader.get_info()['height']}"
         )
-        total = loader.total_frames if num_frames is None else min(num_frames, loader.total_frames)
+        avail = max(0, loader.total_frames - start_frame)
+        total = avail if num_frames is None else min(num_frames, avail)
         dt = loader.dt
-        frames = loader.load_frames(total)
+        frames = loader.load_frames(total, start=start_frame)
         total = len(frames)
         loader.release()
 
@@ -166,19 +177,38 @@ def run_demo(
             img_size=yolo_img_size,
         )
     dets, inputs = _build_inputs(frames, total, dt, use_frames, cfg,
-                                 detector=detector)
+                                 detector=detector, start_frame=start_frame)
     runner = make_sequence_runner(cfg, donate=False)
+
+    init = initial_state(cfg)
+    if resume:
+        # Continue a prior segment: the carry (track table, Kalman state,
+        # lane EMA, tagging rings, frame counter) restores exactly, so
+        # segment N+1 is bit-identical to the same frames of one
+        # monolithic run (utils/checkpoint.py; chunk-chaining contract).
+        from ..utils.checkpoint import restore_pipeline_state
+
+        init = restore_pipeline_state(resume, init)
+        print(f"      Resumed pipeline state from {resume}")
 
     # Compile and execute separately so the reported device rate is the
     # steady-state throughput, not skewed by the one-time XLA compile.
     t0 = time.time()
-    compiled = runner.lower(initial_state(cfg), inputs).compile()
+    compiled = runner.lower(init, inputs).compile()
     compile_time = time.time() - t0
     t0 = time.time()
-    final, outs = compiled(initial_state(cfg), inputs)
+    final, outs = compiled(init, inputs)
     jax.block_until_ready(outs["plan_best"])
     device_time = time.time() - t0
     outs = jax.device_get(outs)
+
+    if save_state:
+        from ..utils.checkpoint import save_pipeline_state
+
+        save_pipeline_state(save_state, final)
+        print(f"      Saved pipeline state to {save_state} "
+              f"(resume with --resume {save_state} "
+              f"--start-frame {start_frame + total})")
 
     smoothed = None
     if smooth_tracks:
@@ -385,6 +415,14 @@ def main(argv=None):
                              "or a torch state_dict .pt")
     parser.add_argument("--img-size", type=int, default=640,
                         help="YOLO letterbox size (speed/accuracy knob)")
+    parser.add_argument("--start-frame", type=int, default=0,
+                        help="First frame index to process (segmented runs)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Restore the pipeline carry saved by "
+                             "--save-state and continue from it")
+    parser.add_argument("--save-state", type=str, default=None,
+                        help="Save the final pipeline carry (orbax) for "
+                             "--resume")
     args = parser.parse_args(argv)
 
     if args.test:
@@ -410,6 +448,9 @@ def main(argv=None):
         yolo=args.yolo,
         weights=args.weights,
         yolo_img_size=args.img_size,
+        start_frame=args.start_frame,
+        resume=args.resume,
+        save_state=args.save_state,
     )
 
 

@@ -92,3 +92,55 @@ def test_run_demo_with_video_file(tmp_path, monkeypatch, capsys):
     )
     out = capsys.readouterr().out
     assert "Demo Complete!" in out and "Processed 10 frames" in out
+
+
+def test_run_demo_segmented_resume_equals_monolithic(tmp_path, monkeypatch, capsys):
+    """--save-state / --resume / --start-frame: two 8-frame segments chained
+    through an orbax checkpoint must end in exactly the state one 16-frame
+    run ends in (track table, Kalman state, tagging rings, frame counter —
+    the full carry)."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import numpy as np
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+        initial_state,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.demo import (
+        run_demo,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.checkpoint import (
+        restore_pipeline_state,
+    )
+
+    common = dict(
+        display=False,
+        synthetic=True,
+        use_frames=False,  # detections mode keeps the CPU run fast
+        enable_tagging=True,
+    )
+    run_demo(num_frames=8, save_state=str(tmp_path / "seg1"), **common)
+    run_demo(
+        num_frames=8,
+        start_frame=8,
+        resume=str(tmp_path / "seg1"),
+        save_state=str(tmp_path / "seg2"),
+        **common,
+    )
+    run_demo(num_frames=16, save_state=str(tmp_path / "mono"), **common)
+    out = capsys.readouterr().out
+    assert "Resumed pipeline state" in out
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    template = initial_state(cfg)
+    seg = restore_pipeline_state(str(tmp_path / "seg2"), template)
+    mono = restore_pipeline_state(str(tmp_path / "mono"), template)
+    for path, a, b in zip(
+        jax.tree_util.tree_leaves_with_path(seg)[0:],
+        jax.tree_util.tree_leaves(seg),
+        jax.tree_util.tree_leaves(mono),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(path[0])
+        )
