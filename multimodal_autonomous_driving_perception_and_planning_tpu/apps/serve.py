@@ -21,6 +21,11 @@ Endpoints:
                           each with leading time axis == chunk size;
                           returns npz of per-frame outputs
   POST /reset?session=id  reset the session's scan state
+  GET  /session_state?session=id  export the session carry as npz
+                          (client-driven durability: sessions are
+                          otherwise process-memory only)
+  POST /session_state     import an exported carry -> new session id
+                          (server-restart / cross-server recovery)
   DELETE /session?session=id  drop a session (frees its device state)
 
 Each session pins a full PipelineState on device, so the session table
@@ -141,6 +146,52 @@ class PipelineServer:
                 raise KeyError(sid)
             del self.sessions[sid]
 
+    def export_session(self, sid: str) -> Dict[str, np.ndarray]:
+        """The session carry as named arrays (npz-able): client-driven
+        durability — sessions otherwise live only in process memory and die
+        with the server or at LRU eviction."""
+        import jax
+
+        with self._lock:
+            if sid not in self.sessions:
+                raise KeyError(sid)
+            state = self.sessions[sid]
+            self.sessions.move_to_end(sid)
+            leaves = jax.tree_util.tree_leaves(state)
+        return {
+            f"leaf{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)
+        }
+
+    def import_session(self, arrays: Dict[str, np.ndarray]) -> str:
+        """Restore an exported carry into a NEW session (same config/chunk
+        server, or a different server instance — server restart recovery)."""
+        import jax
+        import jax.numpy as jnp
+
+        template = self._initial_state()
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        if sorted(arrays) != sorted(f"leaf{i}" for i in range(len(t_leaves))):
+            raise ValueError(
+                f"expected {len(t_leaves)} state leaves named leaf0..leaf"
+                f"{len(t_leaves) - 1}; got {sorted(arrays)[:5]}..."
+            )
+        leaves = []
+        for i, t in enumerate(t_leaves):
+            a = np.asarray(arrays[f"leaf{i}"])
+            if tuple(a.shape) != tuple(t.shape):
+                raise ValueError(
+                    f"leaf{i}: expected shape {tuple(t.shape)}, got {a.shape}"
+                )
+            leaves.append(jnp.asarray(a.astype(t.dtype)))
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        with self._lock:
+            while len(self.sessions) >= self.max_sessions:
+                self.sessions.popitem(last=False)
+            sid = f"s{self._next_id}"
+            self._next_id += 1
+            self.sessions[sid] = state
+        return sid
+
     # -- inference ----------------------------------------------------------
     def infer(self, sid: str, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         import jax
@@ -229,6 +280,13 @@ def make_handler(server: PipelineServer):
                         "max_sessions": server.max_sessions,
                     },
                 )
+            elif path == "/session_state":
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    out = server.export_session(q["session"][0])
+                    self._send(200, _npz_bytes(out), "application/octet-stream")
+                except KeyError as e:
+                    self._json(404, {"error": f"unknown session {e}"})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -246,6 +304,10 @@ def make_handler(server: PipelineServer):
                 elif url.path == "/infer":
                     out = server.infer(q["session"][0], _npz_load(body))
                     self._send(200, _npz_bytes(out), "application/octet-stream")
+                elif url.path == "/session_state":
+                    # Import an exported carry into a new session.
+                    sid = server.import_session(_npz_load(body))
+                    self._json(200, {"session": sid})
                 else:
                     self._json(404, {"error": "not found"})
             except KeyError as e:

@@ -139,3 +139,50 @@ def test_session_lru_eviction_and_delete():
     except KeyError:
         raised = True
     assert raised
+
+
+def test_session_export_import_continues_exactly():
+    """GET/POST /session_state durability contract: export a session's
+    carry after chunk 1, import it into a fresh session (as after a server
+    restart), and chunk 2 must produce byte-identical outputs to the
+    uninterrupted session."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import (
+        PipelineServer,
+        _npz_bytes,
+        _npz_load,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=True)
+    ps = PipelineServer(cfg=cfg, chunk=4, max_sessions=4)
+    sid = ps.create_session()
+
+    def chunk_arrays(start):
+        dets = simulated_detection_stream(
+            4,
+            height=cfg.frame_height,
+            width=cfg.frame_width,
+            capacity=cfg.detector.max_detections,
+            start_frame_count=start + 1,
+        )
+        ego = ego_motion_stream(start + 4, dt=1.0 / 30.0, seed=0)[start:]
+        return {**dets, "ego_measurement": ego.astype(np.float32)}
+
+    ps.infer(sid, chunk_arrays(0))
+    exported = _npz_load(_npz_bytes(ps.export_session(sid)))  # npz round-trip
+
+    out_live = ps.infer(sid, chunk_arrays(4))
+    sid2 = ps.import_session(exported)
+    out_restored = ps.infer(sid2, chunk_arrays(4))
+
+    assert sorted(out_live) == sorted(out_restored)
+    for k in out_live:
+        np.testing.assert_array_equal(out_live[k], out_restored[k], err_msg=k)
+
+    # Malformed imports answer with a clear error, not a corrupt session.
+    try:
+        ps.import_session({"leaf0": np.zeros(3)})
+        raised = False
+    except ValueError as e:
+        raised = True
+        assert "leaf" in str(e)
+    assert raised
