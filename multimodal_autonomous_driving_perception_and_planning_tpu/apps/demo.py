@@ -330,6 +330,134 @@ def run_demo(
         print("\nVideo saved to: output_demo.mp4")
 
 
+def run_multicamera_demo(
+    num_cameras: int = 4,
+    num_frames: int = None,
+    save_video: bool = False,
+    display: bool = True,
+    enable_tagging: bool = True,
+):
+    """Multi-camera rig demo: C distinct synthetic feeds through the
+    camera-sharded runner (parallel/mesh.py shard_map — vmap within a
+    device, psum fleet reduction across the mesh), rendered as a BEV grid.
+    On a multi-chip mesh the same code shards cameras across chips; on one
+    chip it vmaps.  No reference analog (the reference is single-stream);
+    this is the multicamera axis as a user surface rather than a bench."""
+    import cv2
+    import jax
+
+    _enable_persistent_compile_cache()
+
+    from .. import DEFAULT_CONFIG
+    from ..data.synthetic import ego_motion_stream, simulated_detection_stream
+    from ..host import extract_frame
+    from ..parallel.mesh import make_camera_mesh, make_multicamera_runner, stack_states
+    from ..viz import BEVRenderer
+
+    C = int(num_cameras)
+    T = num_frames or 120
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=enable_tagging)
+
+    print("=" * 60)
+    print(f"Multi-camera demo: {C} feeds through the camera-sharded runner")
+    print("=" * 60)
+
+    # Distinct deterministic feeds per camera: the detection stream is
+    # counter-keyed, so disjoint counter ranges give unrelated traffic.
+    per_cam_dets = [
+        simulated_detection_stream(
+            T,
+            height=cfg.frame_height,
+            width=cfg.frame_width,
+            capacity=cfg.detector.max_detections,
+            start_frame_count=c * 100_000 + 1,
+        )
+        for c in range(C)
+    ]
+    dets = {k: np.stack([d[k] for d in per_cam_dets]) for k in per_cam_dets[0]}
+    ego = np.stack(
+        [ego_motion_stream(T, dt=1.0 / 30.0, seed=c) for c in range(C)]
+    ).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    inputs = {k: jnp.asarray(v) for k, v in dets.items()}
+    inputs["ego_measurement"] = jnp.asarray(ego)
+
+    # Largest device count that divides C: shard_map splits the camera axis
+    # evenly across the mesh (1 chip -> vmap over all cameras).
+    n_dev = max(d for d in range(1, len(jax.devices()) + 1) if C % d == 0)
+    mesh = make_camera_mesh(n_dev)
+    runner = make_multicamera_runner(cfg, mesh)
+    states = stack_states(cfg, C)
+
+    t0 = time.time()
+    final, outs, fleet = runner(states, inputs)
+    jax.block_until_ready(fleet["fleet_confirmed_per_frame"])
+    device_time = time.time() - t0
+    outs = jax.device_get(outs)
+    fleet_counts = np.asarray(fleet["fleet_confirmed_per_frame"])
+    print(
+        f"Device scan: {C} cameras x {T} frames in {device_time*1e3:.1f} ms "
+        f"({C*T/max(device_time,1e-9):.0f} frames/s aggregate on "
+        f"{n_dev} device(s), incl. compile)"
+    )
+
+    bev = BEVRenderer(cfg.bev)
+    cols = int(np.ceil(np.sqrt(C)))
+    rows = int(np.ceil(C / cols))
+    tile = 400
+    video_writer = None
+    out_path = Path("output_multicam.mp4")
+    if save_video:
+        print(f"Saving video to: {out_path}")
+
+    outs_per_cam = [
+        jax.tree_util.tree_map(lambda x, c=c: x[c], outs) for c in range(C)
+    ]
+    dets_per_cam = [{k: v[c] for k, v in dets.items()} for c in range(C)]
+    start = time.time()
+    for f in range(T):
+        grid = np.zeros((rows * tile, cols * tile, 3), np.uint8)
+        for c in range(C):
+            res = extract_frame(outs_per_cam[c], dets_per_cam[c], f)
+            img = bev.render(
+                ego_state=res.vehicle_state,
+                tracks=res.tracks,
+                planned_trajectory=res.optimal_trajectory,
+                candidate_trajectories=res.candidate_trajectories[:10],
+                show_grid=True,
+            )
+            img = cv2.resize(img, (tile, tile))
+            cv2.putText(img, f"cam {c}", (8, 22), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.6, (255, 255, 255), 1)
+            r, col = divmod(c, cols)
+            grid[r * tile:(r + 1) * tile, col * tile:(col + 1) * tile] = img
+        cv2.putText(grid, f"frame {f}  fleet tracks: {int(fleet_counts[f])}",
+                    (8, rows * tile - 10), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                    (0, 255, 0), 1)
+        if display:
+            cv2.imshow("Multi-camera BEV grid (TPU)", grid)
+            if (cv2.waitKey(1) & 0xFF) == ord("q"):
+                break
+        if save_video:
+            if video_writer is None:
+                video_writer = cv2.VideoWriter(
+                    str(out_path), cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                    (grid.shape[1], grid.shape[0]),
+                )
+            video_writer.write(grid)
+        if (f + 1) % 50 == 0:
+            print(f"Frame {f+1}/{T} | fleet tracks: {int(fleet_counts[f])}")
+    host_time = time.time() - start
+    if video_writer is not None:
+        video_writer.release()
+        print(f"Video saved: {out_path}")
+    if display:
+        cv2.destroyAllWindows()
+    print(f"Rendered {T} frames x {C} cameras in {host_time:.2f}s (host grid loop)")
+
+
 def run_component_test():
     """The six-component smoke suite the reference README documents."""
     import jax
@@ -415,6 +543,9 @@ def main(argv=None):
                              "or a torch state_dict .pt")
     parser.add_argument("--img-size", type=int, default=640,
                         help="YOLO letterbox size (speed/accuracy knob)")
+    parser.add_argument("--cameras", type=int, default=1,
+                        help="Run N synthetic camera feeds through the "
+                             "camera-sharded runner and render a BEV grid")
     parser.add_argument("--start-frame", type=int, default=0,
                         help="First frame index to process (segmented runs)")
     parser.add_argument("--resume", type=str, default=None,
@@ -427,6 +558,16 @@ def main(argv=None):
 
     if args.test:
         run_component_test()
+        return
+
+    if args.cameras > 1:
+        run_multicamera_demo(
+            num_cameras=args.cameras,
+            num_frames=args.frames,
+            save_video=args.save_video,
+            display=not args.no_display,
+            enable_tagging=not args.no_tagging,
+        )
         return
 
     if args.video is None and not args.synthetic:

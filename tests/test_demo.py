@@ -144,3 +144,29 @@ def test_run_demo_segmented_resume_equals_monolithic(tmp_path, monkeypatch, caps
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=str(path[0])
         )
+
+
+def test_run_multicamera_demo_smoke(tmp_path, monkeypatch, capsys):
+    """--cameras N: the camera-sharded runner (shard_map + psum fleet
+    reduction) as a CLI surface — grid video written, fleet counts printed."""
+    monkeypatch.chdir(tmp_path)
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.demo import (
+        run_multicamera_demo,
+    )
+
+    run_multicamera_demo(
+        num_cameras=2, num_frames=12, save_video=True, display=False,
+        enable_tagging=False,
+    )
+    out = capsys.readouterr().out
+    assert "2 feeds through the camera-sharded runner" in out
+    assert "Rendered 12 frames x 2 cameras" in out
+
+    video = tmp_path / "output_multicam.mp4"
+    assert video.exists() and video.stat().st_size > 10_000
+
+    import cv2
+
+    cap = cv2.VideoCapture(str(video))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
+    cap.release()
