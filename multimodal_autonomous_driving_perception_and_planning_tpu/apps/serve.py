@@ -26,6 +26,8 @@ Endpoints:
                           otherwise process-memory only)
   POST /session_state     import an exported carry -> new session id
                           (server-restart / cross-server recovery)
+  GET  /metrics           request counters + inference latency
+                          percentiles + uptime (JSON)
   DELETE /session?session=id  drop a session (frees its device state)
 
 Each session pins a full PipelineState on device, so the session table
@@ -122,6 +124,11 @@ class PipelineServer:
         jax.block_until_ready(outs["plan_best"])
         del example, outs  # free the warmup buffers before serving
         self.warmup_seconds = _time.time() - t0
+        # Serving observability: counters + a bounded latency ring (the
+        # pipeline-side analog is utils/metrics.py JSONL).
+        self.started_at = _time.time()
+        self.request_counts: Dict[str, int] = {}
+        self._infer_seconds: list = []  # last <=1024 inference wall times
 
     # -- session management -------------------------------------------------
     def create_session(self) -> str:
@@ -145,6 +152,32 @@ class PipelineServer:
             if sid not in self.sessions:
                 raise KeyError(sid)
             del self.sessions[sid]
+
+    def count_request(self, route: str) -> None:
+        with self._lock:
+            self.request_counts[route] = self.request_counts.get(route, 0) + 1
+
+    def metrics(self) -> Dict:
+        import time as _time
+
+        with self._lock:
+            lat = sorted(self._infer_seconds)
+            counts = dict(self.request_counts)
+            n_sessions = len(self.sessions)
+
+        def pct(p: float):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 3)
+
+        return {
+            "uptime_seconds": round(_time.time() - self.started_at, 1),
+            "warmup_seconds": round(self.warmup_seconds, 2),
+            "sessions": n_sessions,
+            "requests": counts,
+            "infer_latency_ms": {"count": len(lat), "p50": pct(0.5), "p99": pct(0.99)},
+            "frames_per_chunk": self.chunk,
+        }
 
     def export_session(self, sid: str) -> Dict[str, np.ndarray]:
         """The session carry as named arrays (npz-able): client-driven
@@ -210,6 +243,9 @@ class PipelineServer:
                 )
             inputs[k] = jnp.asarray(a.astype(spec.dtype))
 
+        import time as _time
+
+        t0 = _time.time()
         with self._lock:
             if sid not in self.sessions:
                 raise KeyError(sid)
@@ -217,6 +253,9 @@ class PipelineServer:
             new_state, outs = self.run(state, inputs)
             self.sessions[sid] = new_state
             self.sessions.move_to_end(sid)
+            self._infer_seconds.append(_time.time() - t0)
+            if len(self._infer_seconds) > 1024:
+                del self._infer_seconds[: -1024]
 
         result = {k: np.asarray(jax.device_get(outs[k])) for k in _OUTPUT_KEYS}
         vs = jax.device_get(outs["vehicle_state"])
@@ -256,7 +295,10 @@ def make_handler(server: PipelineServer):
 
         def do_GET(self):
             path = urlparse(self.path).path
-            if path == "/healthz":
+            server.count_request(f"GET {path}")
+            if path == "/metrics":
+                self._json(200, server.metrics())
+            elif path == "/healthz":
                 self._json(
                     200,
                     {
@@ -292,6 +334,7 @@ def make_handler(server: PipelineServer):
 
         def do_POST(self):
             url = urlparse(self.path)
+            server.count_request(f"POST {url.path}")
             q = parse_qs(url.query)
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n) if n else b""
@@ -317,6 +360,7 @@ def make_handler(server: PipelineServer):
 
         def do_DELETE(self):
             url = urlparse(self.path)
+            server.count_request(f"DELETE {url.path}")
             q = parse_qs(url.query)
             try:
                 if url.path == "/session":

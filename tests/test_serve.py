@@ -186,3 +186,11 @@ def test_session_export_import_continues_exactly():
         raised = True
         assert "leaf" in str(e)
     assert raised
+
+    # /metrics observability: the three infers above are measured.
+    m = ps.metrics()
+    assert m["infer_latency_ms"]["count"] == 3
+    assert m["infer_latency_ms"]["p50"] > 0
+    assert m["sessions"] == 2 and m["uptime_seconds"] >= 0
+    ps.count_request("GET /healthz")
+    assert ps.metrics()["requests"] == {"GET /healthz": 1}
