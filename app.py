@@ -29,7 +29,7 @@ def main():
         help="bind address for the web backend (default loopback; "
         "0.0.0.0 exposes the dashboard deliberately)",
     )
-    args, _ = parser.parse_known_args()
+    args, extra = parser.parse_known_args()
 
     backend = args.backend
     if backend is None:
@@ -58,7 +58,8 @@ def main():
             main as serve_main,
         )
 
-        serve_main(["--port", str(args.port)])
+        # Unrecognized flags (--batch, --chunk, ...) pass through to serve.
+        serve_main(["--port", str(args.port)] + extra)
         return
     from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import serve
 

@@ -100,11 +100,16 @@ def _pipeline_inputs(num_frames, capacity=16, dets=None):
     return jax.device_put(inputs)
 
 
-def _scan_bench_fn(cfg, reps):
+def _scan_bench_fn(cfg, reps, lanes=None):
     """Jitted fn: run the sequence scan ``reps`` times, digest all outputs.
 
     The nonce perturbs the ego measurements by <=1e-7 m (far below every
     decision threshold) so each call is a distinct computation.
+
+    ``lanes``: vmap the whole thing over that many independent session
+    lanes (each with a distinct nonce so XLA cannot collapse them) — the
+    device program the serving tier's micro-batching dispatches
+    (apps/serve.py ``--batch``, utils/export.py ``batch=``).
     """
     from multimodal_autonomous_driving_perception_and_planning_tpu import (
         initial_state,
@@ -158,7 +163,14 @@ def _scan_bench_fn(cfg, reps):
         (digest, _), _ = jax.lax.scan(one_rep, (nonce, 0), None, length=reps)
         return digest
 
-    return jax.jit(fn)
+    if lanes is None:
+        return jax.jit(fn)
+
+    def batched(nonce, inputs):
+        lane_nonce = nonce + jnp.arange(lanes, dtype=jnp.float32) * 1e-9
+        return jnp.sum(jax.vmap(lambda n: fn(n, inputs))(lane_nonce))
+
+    return jax.jit(batched)
 
 
 def bench_single_step(repeats):
@@ -460,6 +472,39 @@ def bench_yolo_e2e(repeats, num_frames=128, batch=128):
         "frames/s",
         frames_per_call=num_frames * reps,
         p50_ms=round(p50 * 1e3, 2),
+    )
+
+
+def bench_serve_microbatch(repeats, lanes=4, num_frames=64, reps=10):
+    """Serving-tier micro-batching (apps/serve.py ``--batch``): ``lanes``
+    independent session scans vmapped into one device program, the chunk
+    size matching the server default (64 frames).  Measures aggregate
+    frames/s when concurrent sessions coalesce into one dispatch vs the
+    same chunk scan unbatched — the per-dispatch issue latency amortizes
+    across lanes (the serving analog of the multi-camera vmap axis)."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu import (
+        DEFAULT_CONFIG,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(use_frames=False, enable_tagging=False,
+                                 emit_candidates=False, emit_trajectories=False)
+    inputs = _pipeline_inputs(num_frames)
+    total1 = num_frames * reps
+
+    f1 = _scan_bench_fn(cfg, reps)
+    best1, _ = _time_digest(f1, inputs, repeats=repeats)
+
+    fB = _scan_bench_fn(cfg, reps, lanes=lanes)
+    bestB, p50 = _time_digest(fB, inputs, repeats=repeats)
+    totalB = lanes * total1
+    emit(
+        "serve_microbatch_fps",
+        totalB / bestB,
+        "frames/s",
+        lanes=lanes,
+        frames_per_call=totalB,
+        p50_ms_per_call=round(p50 * 1e3, 3),
+        speedup_vs_unbatched=round((totalB / bestB) / (total1 / best1), 2),
     )
 
 
@@ -966,6 +1011,7 @@ def main():
         ("yolo_variants", lambda: bench_yolo_variants(repeats)),
         ("yolo_e2e", lambda: bench_yolo_e2e(repeats)),
         ("dense_traffic", lambda: bench_dense_traffic(repeats)),
+        ("serve_microbatch", lambda: bench_serve_microbatch(repeats)),
         ("tracker_kernel", lambda: bench_tracker_kernel(repeats)),
         ("kalman_bank", lambda: bench_kalman_bank(repeats)),
         ("multicamera", lambda: bench_multicamera(repeats)),

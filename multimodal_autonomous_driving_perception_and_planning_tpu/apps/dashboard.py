@@ -26,6 +26,10 @@ import numpy as np
 def main():  # pragma: no cover - requires streamlit runtime
     import streamlit as st
 
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()  # JAX_PLATFORMS=cpu must win (utils/platform.py)
+
     import jax
 
     from .. import DEFAULT_CONFIG, initial_state, make_sequence_runner

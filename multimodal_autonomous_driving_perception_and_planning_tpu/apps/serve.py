@@ -35,6 +35,20 @@ is bounded: at ``max_sessions`` the least-recently-used session is
 evicted (a later request against it gets 404 and should re-create).
 The server binds 127.0.0.1 by default — pass ``--host 0.0.0.0`` only
 behind an authenticating proxy; /session is unauthenticated.
+
+Micro-batching (``--batch B``): with B > 1 the artifact is the runner
+``jax.vmap``-ed over a leading session axis, and concurrent ``/infer``
+requests against *different* sessions coalesce into ONE device dispatch
+(up to B lanes, short collection window).  One chunk's device program is
+~chunk x 33 us; B sessions in one program amortize the per-dispatch issue
+latency and fill the chip the way a single stream cannot — the serving
+analog of the multi-camera vmap axis (parallel/mesh.py).  Lanes are
+data-parallel: discrete outputs (track ids/lifecycle, tags) are
+bit-identical to the unbatched server, floats sit ~1e-9 off (vmap changes
+XLA fusion order) — far inside the 1e-4 parity budget (asserted in
+tests/test_serve.py).  Unused lanes are padded with lane 0 and discarded.
+Two queued chunks for the SAME session never share a dispatch — they
+chain in arrival order.
 """
 
 from __future__ import annotations
@@ -64,6 +78,95 @@ _OUTPUT_KEYS = (
 )
 
 
+class _BatchRequest:
+    """One queued /infer awaiting a batched dispatch."""
+
+    __slots__ = ("sid", "inputs", "event", "lane", "outs", "error")
+
+    def __init__(self, sid, inputs):
+        self.sid = sid
+        self.inputs = inputs
+        self.event = threading.Event()
+        self.lane = None
+        self.outs = None
+        self.error: Optional[Exception] = None
+
+
+class _MicroBatcher:
+    """Coalesces concurrent /infer requests into vmapped device dispatches.
+
+    Requests queue FIFO; the dispatcher thread waits ``window_s`` after the
+    first arrival for the batch to fill, then dispatches up to ``batch``
+    lanes.  At most one lane per session id per dispatch — a session's
+    queued chunks chain in order (the scan-state contract).
+    """
+
+    def __init__(self, server: "PipelineServer", window_s: float = 0.005):
+        self.server = server
+        self.window_s = float(window_s)
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self.dispatches = 0  # device programs launched
+        self.lanes_served = 0  # real (non-padding) lanes across dispatches
+        self._thread = threading.Thread(
+            target=self._loop, name="serve-microbatch", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, req: _BatchRequest) -> None:
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self._queue.append(req)
+            self._cv.notify()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+
+    def _take_batch(self) -> list:
+        """Pop up to ``batch`` requests, one per distinct session (FIFO)."""
+        taken, seen = [], set()
+        remaining = []
+        for req in self._queue:
+            if len(taken) < self.server.batch and req.sid not in seen:
+                taken.append(req)
+                seen.add(req.sid)
+            else:
+                remaining.append(req)
+        self._queue = remaining
+        return taken
+
+    def _loop(self) -> None:
+        import time as _time
+
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                # Short fill window: batch up whatever arrives while the
+                # previous dispatch would still be in flight anyway.
+                deadline = _time.time() + self.window_s
+                while (
+                    len({r.sid for r in self._queue}) < self.server.batch
+                    and not self._closed
+                ):
+                    left = deadline - _time.time()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                batch = self._take_batch()
+            if batch:
+                self.server._dispatch_lanes(batch)
+                with self._cv:
+                    self.dispatches += 1
+                    self.lanes_served += len(batch)
+
+
 class PipelineServer:
     """Owns the exported runner, sessions, and the device lock."""
 
@@ -73,6 +176,8 @@ class PipelineServer:
         chunk: int = 64,
         artifact: Optional[bytes] = None,
         max_sessions: int = 64,
+        batch: int = 1,
+        batch_window_ms: float = 5.0,
     ):
         import jax
 
@@ -92,18 +197,24 @@ class PipelineServer:
             )
         self.cfg = cfg
         self.chunk = int(chunk)
+        self.batch = int(batch)
+        if self.batch < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
         if artifact is None:
             platform = jax.default_backend()
             artifact = export_sequence_runner(
-                self.cfg, self.chunk, platforms=(platform,)
+                self.cfg, self.chunk, platforms=(platform,), batch=self.batch
             )
         self.artifact_bytes = len(artifact)
-        self.run = deserialize_runner(artifact, self.cfg, self.chunk)
+        self.run = deserialize_runner(
+            artifact, self.cfg, self.chunk, batch=self.batch
+        )
         self._initial_state = lambda: initial_state(self.cfg)
         # Keep only shape/dtype SPECS for per-request validation: the real
         # zero-filled example arrays (a (chunk, H, W, 3) frame stack alone
         # is ~236 MB at chunk=64) are materialized once for warmup below
-        # and then freed.
+        # and then freed.  Requests are per-session chunks, so the specs
+        # stay UNBATCHED even on a batched server (lanes stack at dispatch).
         example = example_sequence_inputs(self.cfg, self.chunk)
         self._example = {
             k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in example.items()
@@ -120,15 +231,33 @@ class PipelineServer:
         import time as _time
 
         t0 = _time.time()
-        _, outs = self.run(self._initial_state(), example)
+        if self.batch > 1:
+            tile = lambda a: jax.numpy.broadcast_to(  # noqa: E731
+                a, (self.batch,) + tuple(a.shape)
+            )
+            wstate = jax.tree_util.tree_map(tile, self._initial_state())
+            wexample = {k: tile(v) for k, v in example.items()}
+            _, outs = self.run(wstate, wexample)
+            del wstate, wexample
+        else:
+            _, outs = self.run(self._initial_state(), example)
         jax.block_until_ready(outs["plan_best"])
         del example, outs  # free the warmup buffers before serving
         self.warmup_seconds = _time.time() - t0
+        self.batcher: Optional[_MicroBatcher] = (
+            _MicroBatcher(self, window_s=batch_window_ms / 1e3)
+            if self.batch > 1
+            else None
+        )
         # Serving observability: counters + a bounded latency ring (the
         # pipeline-side analog is utils/metrics.py JSONL).
         self.started_at = _time.time()
         self.request_counts: Dict[str, int] = {}
         self._infer_seconds: list = []  # last <=1024 inference wall times
+
+    def close(self) -> None:
+        if self.batcher is not None:
+            self.batcher.close()
 
     # -- session management -------------------------------------------------
     def create_session(self) -> str:
@@ -170,7 +299,7 @@ class PipelineServer:
                 return None
             return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 3)
 
-        return {
+        out = {
             "uptime_seconds": round(_time.time() - self.started_at, 1),
             "warmup_seconds": round(self.warmup_seconds, 2),
             "sessions": n_sessions,
@@ -178,6 +307,14 @@ class PipelineServer:
             "infer_latency_ms": {"count": len(lat), "p50": pct(0.5), "p99": pct(0.99)},
             "frames_per_chunk": self.chunk,
         }
+        if self.batcher is not None:
+            with self.batcher._cv:
+                out["batching"] = {
+                    "batch": self.batch,
+                    "dispatches": self.batcher.dispatches,
+                    "lanes_served": self.batcher.lanes_served,
+                }
+        return out
 
     def export_session(self, sid: str) -> Dict[str, np.ndarray]:
         """The session carry as named arrays (npz-able): client-driven
@@ -226,8 +363,7 @@ class PipelineServer:
         return sid
 
     # -- inference ----------------------------------------------------------
-    def infer(self, sid: str, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        import jax
+    def _validate_inputs(self, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         expected = self._example
@@ -242,10 +378,89 @@ class PipelineServer:
                     f"input {k!r}: expected shape {tuple(spec.shape)}, got {a.shape}"
                 )
             inputs[k] = jnp.asarray(a.astype(spec.dtype))
+        return inputs
 
+    def _collect_result(self, outs, lane: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Pull one request's outputs to host (``lane`` indexes a batched
+        dispatch's leading session axis; None means unbatched)."""
+        import jax
+
+        def take(a):
+            return a if lane is None else a[lane]
+
+        result = {k: np.asarray(jax.device_get(take(outs[k]))) for k in _OUTPUT_KEYS}
+        vs = outs["vehicle_state"]
+        for f in ("x", "y", "speed", "heading", "acceleration", "yaw_rate"):
+            result[f"vehicle_{f}"] = np.asarray(jax.device_get(take(getattr(vs, f))))
+        tags = outs.get("tags") or {}
+        for k, v in tags.items():
+            result[f"tag_{k}"] = np.asarray(jax.device_get(take(v)))
+        return result
+
+    def _record_latency(self, seconds: float) -> None:
+        with self._lock:
+            self._infer_seconds.append(seconds)
+            if len(self._infer_seconds) > 1024:
+                del self._infer_seconds[: -1024]
+
+    def _dispatch_lanes(self, requests: list) -> None:
+        """Run one batched device program over the queued requests (each a
+        distinct session).  Lanes beyond len(requests) repeat lane 0; their
+        outputs are discarded.  Called from the _MicroBatcher thread."""
+        import jax
+        import jax.numpy as jnp
+
+        with self._lock:
+            live = []
+            for req in requests:
+                state = self.sessions.get(req.sid)
+                if state is None:
+                    req.error = KeyError(req.sid)
+                    req.event.set()
+                else:
+                    live.append((req, state))
+            if not live:
+                return
+            try:
+                pad = self.batch - len(live)
+                lane_states = [s for _, s in live] + [live[0][1]] * pad
+                stacked_state = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *lane_states
+                )
+                lane_inputs = [r.inputs for r, _ in live] + [live[0][0].inputs] * pad
+                stacked_inputs = {
+                    k: jnp.stack([li[k] for li in lane_inputs])
+                    for k in lane_inputs[0]
+                }
+                new_state, outs = self.run(stacked_state, stacked_inputs)
+                for i, (req, _) in enumerate(live):
+                    self.sessions[req.sid] = jax.tree_util.tree_map(
+                        lambda a, i=i: a[i], new_state
+                    )
+                    self.sessions.move_to_end(req.sid)
+                    req.lane, req.outs = i, outs
+            except Exception as e:  # noqa: BLE001 — surface to every waiter
+                for req, _ in live:
+                    req.error = e
+        for req, _ in live:
+            req.event.set()
+
+    def infer(self, sid: str, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         import time as _time
 
+        inputs = self._validate_inputs(arrays)
         t0 = _time.time()
+
+        if self.batcher is not None:
+            req = _BatchRequest(sid, inputs)
+            self.batcher.submit(req)
+            if not req.event.wait(timeout=600):
+                raise TimeoutError("batched dispatch did not complete in 600s")
+            if req.error is not None:
+                raise req.error
+            self._record_latency(_time.time() - t0)
+            return self._collect_result(req.outs, lane=req.lane)
+
         with self._lock:
             if sid not in self.sessions:
                 raise KeyError(sid)
@@ -257,14 +472,7 @@ class PipelineServer:
             if len(self._infer_seconds) > 1024:
                 del self._infer_seconds[: -1024]
 
-        result = {k: np.asarray(jax.device_get(outs[k])) for k in _OUTPUT_KEYS}
-        vs = jax.device_get(outs["vehicle_state"])
-        for f in ("x", "y", "speed", "heading", "acceleration", "yaw_rate"):
-            result[f"vehicle_{f}"] = np.asarray(getattr(vs, f))
-        tags = outs.get("tags") or {}
-        for k, v in tags.items():
-            result[f"tag_{k}"] = np.asarray(jax.device_get(v))
-        return result
+        return self._collect_result(outs)
 
 
 def _npz_bytes(arrays: Dict[str, np.ndarray]) -> bytes:
@@ -305,6 +513,7 @@ def make_handler(server: PipelineServer):
                         "status": "ok",
                         "device": server.device,
                         "frames_per_chunk": server.chunk,
+                        "batch": server.batch,
                     },
                 )
             elif path == "/info":
@@ -382,16 +591,24 @@ def serve(
     artifact: Optional[bytes] = None,
     host: str = "127.0.0.1",
     max_sessions: int = 64,
+    batch: int = 1,
+    batch_window_ms: float = 5.0,
 ):
     """Start the inference server; returns the HTTPServer when non-blocking."""
     ps = PipelineServer(
-        cfg=cfg, chunk=chunk, artifact=artifact, max_sessions=max_sessions
+        cfg=cfg,
+        chunk=chunk,
+        artifact=artifact,
+        max_sessions=max_sessions,
+        batch=batch,
+        batch_window_ms=batch_window_ms,
     )
     httpd = ThreadingHTTPServer((host, port), make_handler(ps))
     httpd.pipeline_server = ps
+    batched = f", {batch}-session micro-batching" if batch > 1 else ""
     print(
         f"Serving AOT pipeline artifact ({ps.artifact_bytes} bytes, "
-        f"{chunk}-frame chunks) on :{port} "
+        f"{chunk}-frame chunks{batched}) on :{port} "
         f"(warmup {ps.warmup_seconds:.1f}s)"
     )
     if block:
@@ -405,6 +622,15 @@ def serve(
 def main(argv=None):
     import argparse
 
+    # CLI contract: JAX_PLATFORMS=cpu must win over sitecustomize's config
+    # override (utils/platform.py) — without this, `python -m ...apps.serve`
+    # dials the TPU tunnel even when the env var says cpu, and hangs in
+    # PJRT init if the tunnel is down.  app.py applies it too, but this
+    # module is a documented direct entry point.
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     parser = argparse.ArgumentParser(description="AOT pipeline inference server")
     parser.add_argument("--port", type=int, default=8701)
     parser.add_argument("--chunk", type=int, default=64)
@@ -415,6 +641,19 @@ def main(argv=None):
         help="bind address; 0.0.0.0 only behind an authenticating proxy",
     )
     parser.add_argument("--max-sessions", type=int, default=64)
+    parser.add_argument(
+        "--batch",
+        type=int,
+        default=1,
+        help="micro-batch size: coalesce concurrent /infer requests from "
+        "up to B sessions into one vmapped device dispatch",
+    )
+    parser.add_argument(
+        "--batch-window-ms",
+        type=float,
+        default=5.0,
+        help="how long a dispatch waits for more sessions to coalesce",
+    )
     args = parser.parse_args(argv)
 
     # Same persistent compile cache as bench/demo: the export's
@@ -438,6 +677,8 @@ def main(argv=None):
         port=args.port,
         host=args.host,
         max_sessions=args.max_sessions,
+        batch=args.batch,
+        batch_window_ms=args.batch_window_ms,
     )
 
 

@@ -18,6 +18,11 @@ Two families:
    stream explicitly (default seed 0) to make it reproducible, since the
    reference's is entropy-seeded and differs per run.
 
+   Because they mutate numpy's GLOBAL RNG, these generators are NOT
+   thread-safe: concurrent calls interleave draws and corrupt both
+   streams.  Generate fixtures on one thread (tests/test_serve.py's
+   micro-batching test learned this the hard way).
+
 2. **Device-native streams** (`device_detection_stream`): the same
    detection distribution expressed with counter-keyed `jax.random`, for
    pure-device benchmarking where bit-parity with numpy's MT19937 is not

@@ -46,12 +46,28 @@ def example_sequence_inputs(cfg: PipelineConfig, num_frames: int) -> Dict[str, A
 
 
 def _flat_runner(
-    cfg: PipelineConfig, num_frames: int, backend: str | None = None
+    cfg: PipelineConfig,
+    num_frames: int,
+    backend: str | None = None,
+    batch: int = 1,
 ):
-    """(flat_fn, example_leaves, in_tree, out_tree) for the scan runner."""
+    """(flat_fn, example_leaves, in_tree, out_tree) for the scan runner.
+
+    ``batch > 1`` vmaps the runner over a leading session axis: one device
+    program advances ``batch`` independent scan states at once (the serving
+    tier's micro-batching, apps/serve.py).  Lanes are data-parallel — each
+    lane's discrete outputs are bit-identical to the unbatched runner on
+    the same (state, inputs), floats within ~1e-9 (vmap changes XLA fusion
+    order); asserted in tests/test_serve.py.
+    """
     run = make_sequence_runner(cfg, donate=False, backend=backend)
     state = initial_state(cfg)
     inputs = example_sequence_inputs(cfg, num_frames)
+    if batch > 1:
+        run = jax.vmap(run)
+        tile = lambda a: jnp.zeros((batch,) + tuple(a.shape), a.dtype)  # noqa: E731
+        state = jax.tree_util.tree_map(tile, state)
+        inputs = jax.tree_util.tree_map(tile, inputs)
     example_leaves, in_tree = jax.tree_util.tree_flatten((state, inputs))
 
     out_shapes = jax.eval_shape(run, state, inputs)
@@ -69,6 +85,7 @@ def export_sequence_runner(
     cfg: PipelineConfig,
     num_frames: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    batch: int = 1,
 ) -> bytes:
     """Serialize the compiled ``num_frames``-frame scan runner.
 
@@ -88,22 +105,24 @@ def export_sequence_runner(
 
     platforms = tuple(platforms)
     backend = None if platforms == ("tpu",) else "cpu"
-    flat_fn, example_leaves, _, _ = _flat_runner(cfg, num_frames, backend)
+    flat_fn, example_leaves, _, _ = _flat_runner(cfg, num_frames, backend, batch)
     specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in example_leaves]
     exported = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(*specs)
     return exported.serialize()
 
 
-def deserialize_runner(data: bytes, cfg: PipelineConfig, num_frames: int):
+def deserialize_runner(
+    data: bytes, cfg: PipelineConfig, num_frames: int, batch: int = 1
+):
     """bytes -> callable(state, inputs) -> (state', outputs).
 
-    ``cfg``/``num_frames`` must match the exporting call; the exported
-    signature rejects mismatched leaf shapes with a clear error.
+    ``cfg``/``num_frames``/``batch`` must match the exporting call; the
+    exported signature rejects mismatched leaf shapes with a clear error.
     """
     from jax import export as jexport
 
     exported = jexport.deserialize(data)
-    _, _, in_tree, out_tree = _flat_runner(cfg, num_frames)
+    _, _, in_tree, out_tree = _flat_runner(cfg, num_frames, batch=batch)
 
     def run(state, inputs):
         leaves = jax.tree_util.tree_flatten((state, inputs))[0]
