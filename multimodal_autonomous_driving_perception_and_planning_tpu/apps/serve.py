@@ -49,6 +49,15 @@ XLA fusion order) — far inside the 1e-4 parity budget (asserted in
 tests/test_serve.py).  Unused lanes are padded with lane 0 and discarded.
 Two queued chunks for the SAME session never share a dispatch — they
 chain in arrival order.
+
+Scale-out (``--dp D``, requires ``--batch`` divisible by D): the lane
+axis of the batched artifact is mesh-sharded over the first D local
+devices (utils/export.py ``lane_sharding``), so one server drives D
+chips as a single GSPMD program — collective-free data parallelism;
+each chip advances B/D sessions and results cross ICI only at the host
+gather.  The artifact pins the device count (a dp=4 export refuses to
+run single-device), and numerics are those of the batched server
+(discrete outputs bit-identical, floats inside the parity budget).
 """
 
 from __future__ import annotations
@@ -178,6 +187,7 @@ class PipelineServer:
         max_sessions: int = 64,
         batch: int = 1,
         batch_window_ms: float = 5.0,
+        dp: int = 1,
     ):
         import jax
 
@@ -200,14 +210,26 @@ class PipelineServer:
         self.batch = int(batch)
         if self.batch < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
+        # Scale-out: shard the micro-batch lane axis over dp devices (one
+        # GSPMD program, collective-free data parallelism — each device
+        # advances batch/dp sessions; utils/export.py lane_sharding).
+        self.dp = int(dp)
+        if self.dp < 1:
+            raise ValueError(f"dp must be >= 1, got {dp}")
+        if self.dp > 1 and self.batch % self.dp != 0:
+            raise ValueError(f"batch={batch} must be a multiple of dp={dp}")
         if artifact is None:
             platform = jax.default_backend()
             artifact = export_sequence_runner(
-                self.cfg, self.chunk, platforms=(platform,), batch=self.batch
+                self.cfg,
+                self.chunk,
+                platforms=(platform,),
+                batch=self.batch,
+                dp=self.dp,
             )
         self.artifact_bytes = len(artifact)
         self.run = deserialize_runner(
-            artifact, self.cfg, self.chunk, batch=self.batch
+            artifact, self.cfg, self.chunk, batch=self.batch, dp=self.dp
         )
         self._initial_state = lambda: initial_state(self.cfg)
         # Keep only shape/dtype SPECS for per-request validation: the real
@@ -311,6 +333,7 @@ class PipelineServer:
             with self.batcher._cv:
                 out["batching"] = {
                     "batch": self.batch,
+                    "dp": self.dp,
                     "dispatches": self.batcher.dispatches,
                     "lanes_served": self.batcher.lanes_served,
                 }
@@ -514,6 +537,7 @@ def make_handler(server: PipelineServer):
                         "device": server.device,
                         "frames_per_chunk": server.chunk,
                         "batch": server.batch,
+                        "dp": server.dp,
                     },
                 )
             elif path == "/info":
@@ -593,6 +617,7 @@ def serve(
     max_sessions: int = 64,
     batch: int = 1,
     batch_window_ms: float = 5.0,
+    dp: int = 1,
 ):
     """Start the inference server; returns the HTTPServer when non-blocking."""
     ps = PipelineServer(
@@ -602,10 +627,13 @@ def serve(
         max_sessions=max_sessions,
         batch=batch,
         batch_window_ms=batch_window_ms,
+        dp=dp,
     )
     httpd = ThreadingHTTPServer((host, port), make_handler(ps))
     httpd.pipeline_server = ps
     batched = f", {batch}-session micro-batching" if batch > 1 else ""
+    if dp > 1:
+        batched += f", lane axis sharded over {dp} devices"
     print(
         f"Serving AOT pipeline artifact ({ps.artifact_bytes} bytes, "
         f"{chunk}-frame chunks{batched}) on :{port} "
@@ -654,6 +682,13 @@ def main(argv=None):
         default=5.0,
         help="how long a dispatch waits for more sessions to coalesce",
     )
+    parser.add_argument(
+        "--dp",
+        type=int,
+        default=1,
+        help="shard the micro-batch lane axis over this many devices "
+        "(GSPMD data parallelism; requires --batch divisible by --dp)",
+    )
     args = parser.parse_args(argv)
 
     # Same persistent compile cache as bench/demo: the export's
@@ -679,6 +714,7 @@ def main(argv=None):
         max_sessions=args.max_sessions,
         batch=args.batch,
         batch_window_ms=args.batch_window_ms,
+        dp=args.dp,
     )
 
 

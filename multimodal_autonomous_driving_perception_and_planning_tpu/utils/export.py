@@ -45,6 +45,28 @@ def example_sequence_inputs(cfg: PipelineConfig, num_frames: int) -> Dict[str, A
     return inputs
 
 
+def lane_sharding(dp: int):
+    """(mesh, shard_for_leaf) sharding the leading session-lane axis over
+    the first ``dp`` local devices — the serving tier's scale-out story:
+    micro-batched lanes are data-parallel, so B lanes over D chips is one
+    GSPMD program with the lane axis mesh-sharded (collective-free; each
+    chip advances B/D sessions; results ride ICI only at host gather).
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devices = jax.devices()
+    if dp > len(devices):
+        raise ValueError(f"dp={dp} exceeds {len(devices)} available devices")
+    mesh = Mesh(np.array(devices[:dp]), ("sessions",))
+
+    def shard_for(leaf) -> NamedSharding:
+        return NamedSharding(
+            mesh, PartitionSpec("sessions", *([None] * (np.ndim(leaf) - 1)))
+        )
+
+    return mesh, shard_for
+
+
 def _flat_runner(
     cfg: PipelineConfig,
     num_frames: int,
@@ -86,6 +108,7 @@ def export_sequence_runner(
     num_frames: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
     batch: int = 1,
+    dp: int = 1,
 ) -> bytes:
     """Serialize the compiled ``num_frames``-frame scan runner.
 
@@ -100,32 +123,55 @@ def export_sequence_runner(
     platforms, so one program body must serve every target.  The serving
     tier (apps/serve.py) exports single-platform and therefore always
     gets the kernels.
+
+    ``dp > 1`` (requires ``batch % dp == 0``) exports a GSPMD program with
+    the session-lane axis sharded over ``dp`` devices (``lane_sharding``):
+    the artifact pins the device count and partitioning, and callers must
+    commit inputs to the lane sharding (``deserialize_runner`` does).
     """
     from jax import export as jexport
 
     platforms = tuple(platforms)
     backend = None if platforms == ("tpu",) else "cpu"
     flat_fn, example_leaves, _, _ = _flat_runner(cfg, num_frames, backend, batch)
-    specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in example_leaves]
+    if dp > 1:
+        if batch % dp != 0:
+            raise ValueError(f"batch={batch} must be a multiple of dp={dp}")
+        _, shard_for = lane_sharding(dp)
+        specs = [
+            jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=shard_for(l))
+            for l in example_leaves
+        ]
+    else:
+        specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in example_leaves]
     exported = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(*specs)
     return exported.serialize()
 
 
 def deserialize_runner(
-    data: bytes, cfg: PipelineConfig, num_frames: int, batch: int = 1
+    data: bytes, cfg: PipelineConfig, num_frames: int, batch: int = 1, dp: int = 1
 ):
     """bytes -> callable(state, inputs) -> (state', outputs).
 
-    ``cfg``/``num_frames``/``batch`` must match the exporting call; the
-    exported signature rejects mismatched leaf shapes with a clear error.
+    ``cfg``/``num_frames``/``batch``/``dp`` must match the exporting call;
+    the exported signature rejects mismatched leaf shapes with a clear
+    error.  With ``dp > 1`` every input leaf is committed to the lane
+    sharding before the call (a dp-device artifact refuses to run in a
+    single-device context otherwise).
     """
     from jax import export as jexport
 
     exported = jexport.deserialize(data)
     _, _, in_tree, out_tree = _flat_runner(cfg, num_frames, batch=batch)
+    place = None
+    if dp > 1:
+        _, shard_for = lane_sharding(dp)
+        place = lambda leaf: jax.device_put(leaf, shard_for(leaf))  # noqa: E731
 
     def run(state, inputs):
         leaves = jax.tree_util.tree_flatten((state, inputs))[0]
+        if place is not None:
+            leaves = [place(l) for l in leaves]
         out_leaves = exported.call(*leaves)
         return jax.tree_util.tree_unflatten(out_tree, out_leaves)
 

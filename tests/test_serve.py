@@ -334,3 +334,69 @@ def test_batched_artifact_partial_fill_and_padding():
         assert ps.metrics()["batching"]["dispatches"] == 1
     finally:
         ps.close()
+
+
+def test_dp_sharded_server_matches_unbatched():
+    """--dp D scale-out: the batch-4 lane axis sharded over 4 of the 8
+    virtual devices is one GSPMD program (artifact pins nr_devices=4);
+    outputs match the unbatched server within the micro-batch contract,
+    and device placement really spans the mesh."""
+    from jax import export as jexport
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import (
+        PipelineServer,
+    )
+    from multimodal_autonomous_driving_perception_and_planning_tpu.utils.export import (
+        deserialize_runner,
+        export_sequence_runner,
+        lane_sharding,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=False,
+        enable_tagging=False,
+        emit_candidates=False,
+        emit_trajectories=False,
+    )
+    n = 3
+
+    # Artifact level: the export records the 4-device lane partitioning,
+    # and a sharded call's outputs span all 4 devices.
+    art = export_sequence_runner(cfg, n, platforms=("cpu",), batch=4, dp=4)
+    assert jexport.deserialize(art).nr_devices == 4
+    run = deserialize_runner(art, cfg, n, batch=4, dp=4)
+    mesh, shard_for = lane_sharding(4)
+    tile = lambda a: np.broadcast_to(np.asarray(a), (4,) + np.asarray(a).shape)  # noqa: E731
+    state0 = jax.tree_util.tree_map(tile, initial_state(cfg))
+    chunk = _chunk_arrays(cfg, 0, n)
+    new_state, outs = run(state0, {k: tile(v) for k, v in chunk.items()})
+    leaf = jax.tree_util.tree_leaves(new_state)[0]
+    assert len(leaf.sharding.device_set) == 4
+
+    # Server level: a dp=4 batch=4 server answers identically to batch=1.
+    ref = PipelineServer(cfg=cfg, chunk=n, max_sessions=2, batch=1)
+    ps = PipelineServer(
+        cfg=cfg, chunk=n, max_sessions=2, batch=4, batch_window_ms=1.0, dp=4
+    )
+    try:
+        expected = ref.infer(ref.create_session(), chunk)
+        actual = ps.infer(ps.create_session(), chunk)
+        assert sorted(expected) == sorted(actual)
+        for k in expected:
+            if np.issubdtype(expected[k].dtype, np.floating):
+                np.testing.assert_allclose(
+                    actual[k], expected[k], rtol=0, atol=1e-6, err_msg=k
+                )
+            else:
+                np.testing.assert_array_equal(actual[k], expected[k], err_msg=k)
+        assert ps.metrics()["batching"]["dp"] == 4
+    finally:
+        ps.close()
+
+    # batch not divisible by dp is a constructor-time error.
+    try:
+        PipelineServer(cfg=cfg, chunk=n, batch=3, dp=2)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
