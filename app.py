@@ -58,8 +58,9 @@ def main():
             main as serve_main,
         )
 
-        # Unrecognized flags (--batch, --chunk, ...) pass through to serve.
-        serve_main(["--port", str(args.port)] + extra)
+        # Unrecognized flags (--batch, --chunk, ...) pass through to serve;
+        # --host is consumed by this parser, so forward it explicitly.
+        serve_main(["--port", str(args.port), "--host", args.host] + extra)
         return
     from multimodal_autonomous_driving_perception_and_planning_tpu.apps.webview import serve
 

@@ -90,7 +90,7 @@ _OUTPUT_KEYS = (
 class _BatchRequest:
     """One queued /infer awaiting a batched dispatch."""
 
-    __slots__ = ("sid", "inputs", "event", "lane", "outs", "error")
+    __slots__ = ("sid", "inputs", "event", "lane", "outs", "error", "cancelled")
 
     def __init__(self, sid, inputs):
         self.sid = sid
@@ -99,6 +99,7 @@ class _BatchRequest:
         self.lane = None
         self.outs = None
         self.error: Optional[Exception] = None
+        self.cancelled = False  # waiter timed out; must not advance its session
 
 
 class _MicroBatcher:
@@ -135,11 +136,22 @@ class _MicroBatcher:
             self._closed = True
             self._cv.notify()
 
+    def cancel(self, req: _BatchRequest) -> None:
+        """Drop a timed-out request: still queued -> removed (its session is
+        never advanced); already taken into an in-flight dispatch -> the
+        cancelled flag makes _dispatch_lanes skip the state write-back, so
+        the client's retry of the same chunk is not applied twice."""
+        with self._cv:
+            req.cancelled = True
+            self._queue = [r for r in self._queue if r is not req]
+
     def _take_batch(self) -> list:
         """Pop up to ``batch`` requests, one per distinct session (FIFO)."""
         taken, seen = [], set()
         remaining = []
         for req in self._queue:
+            if req.cancelled:
+                continue
             if len(taken) < self.server.batch and req.sid not in seen:
                 taken.append(req)
                 seen.add(req.sid)
@@ -170,10 +182,10 @@ class _MicroBatcher:
                     self._cv.wait(timeout=left)
                 batch = self._take_batch()
             if batch:
+                # Counters are updated by _dispatch_lanes (under the server
+                # lock, BEFORE waiters wake) so /metrics read right after an
+                # /infer returns reflects that request's dispatch.
                 self.server._dispatch_lanes(batch)
-                with self._cv:
-                    self.dispatches += 1
-                    self.lanes_served += len(batch)
 
 
 class PipelineServer:
@@ -457,11 +469,18 @@ class PipelineServer:
                 }
                 new_state, outs = self.run(stacked_state, stacked_inputs)
                 for i, (req, _) in enumerate(live):
+                    if req.cancelled:  # waiter timed out mid-flight: the
+                        continue  # session must not silently advance
                     self.sessions[req.sid] = jax.tree_util.tree_map(
                         lambda a, i=i: a[i], new_state
                     )
                     self.sessions.move_to_end(req.sid)
                     req.lane, req.outs = i, outs
+                with self.batcher._cv:
+                    self.batcher.dispatches += 1  # device programs launched
+                    self.batcher.lanes_served += sum(
+                        1 for r, _ in live if not r.cancelled
+                    )
             except Exception as e:  # noqa: BLE001 — surface to every waiter
                 for req, _ in live:
                     req.error = e
@@ -478,6 +497,7 @@ class PipelineServer:
             req = _BatchRequest(sid, inputs)
             self.batcher.submit(req)
             if not req.event.wait(timeout=600):
+                self.batcher.cancel(req)
                 raise TimeoutError("batched dispatch did not complete in 600s")
             if req.error is not None:
                 raise req.error
@@ -491,10 +511,7 @@ class PipelineServer:
             new_state, outs = self.run(state, inputs)
             self.sessions[sid] = new_state
             self.sessions.move_to_end(sid)
-            self._infer_seconds.append(_time.time() - t0)
-            if len(self._infer_seconds) > 1024:
-                del self._infer_seconds[: -1024]
-
+        self._record_latency(_time.time() - t0)
         return self._collect_result(outs)
 
 

@@ -83,11 +83,16 @@ def _flat_runner(
     order); asserted in tests/test_serve.py.
     """
     run = make_sequence_runner(cfg, donate=False, backend=backend)
-    state = initial_state(cfg)
-    inputs = example_sequence_inputs(cfg, num_frames)
+    # Shape/dtype SPECS only — never materialize the example buffers here
+    # (a batched frames-mode chunk would be batch x ~236 MB of zeros, and
+    # a server startup calls this twice: export + deserialize).
+    state = jax.eval_shape(lambda: initial_state(cfg))
+    inputs = jax.eval_shape(lambda: example_sequence_inputs(cfg, num_frames))
     if batch > 1:
         run = jax.vmap(run)
-        tile = lambda a: jnp.zeros((batch,) + tuple(a.shape), a.dtype)  # noqa: E731
+        tile = lambda a: jax.ShapeDtypeStruct(  # noqa: E731
+            (batch,) + tuple(a.shape), a.dtype
+        )
         state = jax.tree_util.tree_map(tile, state)
         inputs = jax.tree_util.tree_map(tile, inputs)
     example_leaves, in_tree = jax.tree_util.tree_flatten((state, inputs))

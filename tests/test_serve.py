@@ -230,8 +230,11 @@ def test_microbatched_server_matches_unbatched_and_coalesces():
     )
     n = 4
     ref = PipelineServer(cfg=cfg, chunk=n, max_sessions=4, batch=1)
+    # Generous fill window: the assertions below count dispatches exactly,
+    # so the three first-chunk submissions must land inside one window even
+    # on a loaded CI box (thread start + input conversion stagger).
     ps = PipelineServer(
-        cfg=cfg, chunk=n, max_sessions=4, batch=3, batch_window_ms=50.0
+        cfg=cfg, chunk=n, max_sessions=4, batch=3, batch_window_ms=500.0
     )
     try:
         # Three sessions on distinct ego streams, two chained chunks each.
@@ -373,23 +376,60 @@ def test_dp_sharded_server_matches_unbatched():
     leaf = jax.tree_util.tree_leaves(new_state)[0]
     assert len(leaf.sharding.device_set) == 4
 
-    # Server level: a dp=4 batch=4 server answers identically to batch=1.
+    # Server level: a dp=4 batch=4 server answers identically to batch=1 —
+    # two sessions driven concurrently for two CHAINED chunks each, so the
+    # re-stacking of lane-sliced mesh-sharded states into the next sharded
+    # dispatch is exercised (not just one padded single-request dispatch).
+    import threading
+
     ref = PipelineServer(cfg=cfg, chunk=n, max_sessions=2, batch=1)
     ps = PipelineServer(
-        cfg=cfg, chunk=n, max_sessions=2, batch=4, batch_window_ms=1.0, dp=4
+        cfg=cfg, chunk=n, max_sessions=2, batch=4, batch_window_ms=100.0, dp=4
     )
     try:
-        expected = ref.infer(ref.create_session(), chunk)
-        actual = ps.infer(ps.create_session(), chunk)
-        assert sorted(expected) == sorted(actual)
-        for k in expected:
-            if np.issubdtype(expected[k].dtype, np.floating):
-                np.testing.assert_allclose(
-                    actual[k], expected[k], rtol=0, atol=1e-6, err_msg=k
-                )
-            else:
-                np.testing.assert_array_equal(actual[k], expected[k], err_msg=k)
-        assert ps.metrics()["batching"]["dp"] == 4
+        seeds = (0, 7)
+        chunks = {
+            s: [_chunk_arrays(cfg, 0, n, seed=s), _chunk_arrays(cfg, n, n, seed=s)]
+            for s in seeds
+        }
+        expected = {}
+        for s in seeds:
+            rsid = ref.create_session()
+            expected[s] = [ref.infer(rsid, chunks[s][0]), ref.infer(rsid, chunks[s][1])]
+
+        sids = {s: ps.create_session() for s in seeds}
+        got = {s: [None, None] for s in seeds}
+        errors = []
+
+        def drive(seed):
+            try:
+                got[seed][0] = ps.infer(sids[seed], chunks[seed][0])
+                got[seed][1] = ps.infer(sids[seed], chunks[seed][1])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=drive, args=(s,)) for s in seeds]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+
+        for s in seeds:
+            for c in range(2):
+                exp, act = expected[s][c], got[s][c]
+                assert sorted(exp) == sorted(act)
+                for k in exp:
+                    msg = f"seed {s} chunk {c} key {k}"
+                    if np.issubdtype(exp[k].dtype, np.floating):
+                        np.testing.assert_allclose(
+                            act[k], exp[k], rtol=0, atol=1e-6, err_msg=msg
+                        )
+                    else:
+                        np.testing.assert_array_equal(act[k], exp[k], err_msg=msg)
+        m = ps.metrics()["batching"]
+        assert m["dp"] == 4
+        assert m["lanes_served"] == 4 and m["dispatches"] >= 2
     finally:
         ps.close()
 
@@ -400,3 +440,52 @@ def test_dp_sharded_server_matches_unbatched():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_batched_timeout_cancel_never_advances_session():
+    """A timed-out batched /infer is cancelled: its queued request is
+    dropped (or its in-flight state write-back skipped), so the session's
+    scan state never advances for a client that got TimeoutError — the
+    retry of the same chunk is not applied twice."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import (
+        PipelineServer,
+        _BatchRequest,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=False,
+        enable_tagging=False,
+        emit_candidates=False,
+        emit_trajectories=False,
+    )
+    n = 3
+    ref = PipelineServer(cfg=cfg, chunk=n, max_sessions=2, batch=1)
+    ps = PipelineServer(
+        cfg=cfg, chunk=n, max_sessions=2, batch=2, batch_window_ms=1000.0
+    )
+    try:
+        chunk0 = _chunk_arrays(cfg, 0, n)
+        rsid = ref.create_session()
+        expected = ref.infer(rsid, chunk0)
+
+        sid = ps.create_session()
+        # Simulate the timeout path: enqueue, then cancel before dispatch
+        # (infer() does exactly this when event.wait times out).
+        req = _BatchRequest(sid, ps._validate_inputs(chunk0))
+        ps.batcher.submit(req)
+        ps.batcher.cancel(req)
+
+        # The session must still be at frame 0: a fresh infer of chunk 0
+        # matches the unbatched reference exactly.
+        actual = ps.infer(sid, chunk0)
+        for k in expected:
+            if np.issubdtype(expected[k].dtype, np.floating):
+                np.testing.assert_allclose(
+                    actual[k], expected[k], rtol=0, atol=1e-6, err_msg=k
+                )
+            else:
+                np.testing.assert_array_equal(actual[k], expected[k], err_msg=k)
+        # The cancelled request never occupied a lane.
+        assert ps.metrics()["batching"]["lanes_served"] == 1
+    finally:
+        ps.close()
