@@ -489,3 +489,52 @@ def test_batched_timeout_cancel_never_advances_session():
         assert ps.metrics()["batching"]["lanes_served"] == 1
     finally:
         ps.close()
+
+
+def test_serve_loadgen_end_to_end():
+    """tools/serve_loadgen.py drives a live batched server over HTTP and
+    reports a clean JSON line (frames/s, latency percentiles, coalescing
+    observed in the server's own metrics)."""
+    import json as _json
+
+    sys_path_root = __import__("pathlib").Path(__file__).resolve().parent.parent
+    import sys as _sys
+
+    _sys.path.insert(0, str(sys_path_root / "tools"))
+    try:
+        import serve_loadgen
+    finally:
+        _sys.path.pop(0)
+
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=False,
+        enable_tagging=False,
+        emit_candidates=False,
+        emit_trajectories=False,
+    )
+    port = 8727
+    httpd = serve(
+        cfg=cfg, chunk=4, port=port, block=False, batch=2, batch_window_ms=100.0
+    )
+    try:
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = serve_loadgen.main(
+                ["--url", f"http://127.0.0.1:{port}", "--sessions", "2",
+                 "--chunks", "2"]
+            )
+        assert rc == 0
+        out = _json.loads(buf.getvalue())
+        assert out["metric"] == "serve_http_fps" and out["value"] > 0
+        assert out["completed_requests"] == 4 and not out["errors"]
+        assert out["request_latency_ms"]["p50"] > 0
+        m = out["server_metrics"]["batching"]
+        assert m["lanes_served"] == 4 and m["dispatches"] >= 2
+        # loadgen deletes its sessions on the way out
+        assert out["server_metrics"]["sessions"] in (0, 1, 2)  # best-effort
+    finally:
+        httpd.shutdown()
+        httpd.pipeline_server.close()
