@@ -538,3 +538,80 @@ def test_serve_loadgen_end_to_end():
     finally:
         httpd.shutdown()
         httpd.pipeline_server.close()
+
+
+def test_microbatch_stress_chaining_under_jitter():
+    """Stress the dispatcher: 6 sessions x 4 chained chunks arriving with
+    jittered timing against a batch-4 server.  Every chunk of every session
+    must match the unbatched server — if any dispatch ever misorders or
+    cross-wires a session's chunks, the chained scan state diverges and
+    the comparison fails."""
+    import random
+    import threading
+    import time as _time
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps.serve import (
+        PipelineServer,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(
+        use_frames=False,
+        enable_tagging=False,
+        emit_candidates=False,
+        emit_trajectories=False,
+    )
+    n, n_sessions, n_chunks = 3, 6, 4
+    ref = PipelineServer(cfg=cfg, chunk=n, max_sessions=n_sessions, batch=1)
+    ps = PipelineServer(
+        cfg=cfg, chunk=n, max_sessions=n_sessions, batch=4, batch_window_ms=5.0
+    )
+    try:
+        # Fixtures on ONE thread (global-RNG synthetic streams).
+        chunks = {
+            s: [_chunk_arrays(cfg, c * n, n, seed=s) for c in range(n_chunks)]
+            for s in range(n_sessions)
+        }
+        expected = {}
+        for s in range(n_sessions):
+            rsid = ref.create_session()
+            expected[s] = [ref.infer(rsid, chunks[s][c]) for c in range(n_chunks)]
+
+        sids = {s: ps.create_session() for s in range(n_sessions)}
+        got = {s: [None] * n_chunks for s in range(n_sessions)}
+        errors = []
+        rngs = {s: random.Random(100 + s) for s in range(n_sessions)}
+
+        def drive(s):
+            try:
+                for c in range(n_chunks):
+                    _time.sleep(rngs[s].uniform(0.0, 0.02))
+                    got[s][c] = ps.infer(sids[s], chunks[s][c])
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"session {s}: {e!r}")
+
+        threads = [
+            threading.Thread(target=drive, args=(s,)) for s in range(n_sessions)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+
+        for s in range(n_sessions):
+            for c in range(n_chunks):
+                exp, act = expected[s][c], got[s][c]
+                for k in exp:
+                    msg = f"session {s} chunk {c} key {k}"
+                    if np.issubdtype(exp[k].dtype, np.floating):
+                        np.testing.assert_allclose(
+                            act[k], exp[k], rtol=0, atol=1e-5, err_msg=msg
+                        )
+                    else:
+                        np.testing.assert_array_equal(act[k], exp[k], err_msg=msg)
+
+        m = ps.metrics()["batching"]
+        assert m["lanes_served"] == n_sessions * n_chunks
+        assert m["dispatches"] <= n_sessions * n_chunks  # some coalescing
+    finally:
+        ps.close()
