@@ -31,7 +31,7 @@ echo "exit=$? $(date +%H:%M:%S)" >> $log
 # holds.  batch=8 amortizes the ~30 ms tunnel dispatch across sessions.
 if [ ! -e $stop ]; then
   echo "--- serve loadgen $(date +%H:%M:%S) ---" >> $log
-  timeout 1200 python app.py --backend serve --port 8745 --batch 8 --chunk 64 \
+  timeout 2400 python app.py --backend serve --port 8745 --batch 8 --chunk 64 \
     > /tmp/serve_tpu.log 2>&1 &
   SERVE_PID=$!
   for i in $(seq 1 200); do
