@@ -145,6 +145,16 @@ class _MicroBatcher:
             req.cancelled = True
             self._queue = [r for r in self._queue if r is not req]
 
+    def record_dispatch(self, lanes: int) -> None:
+        """One device program launched, serving ``lanes`` real lanes."""
+        with self._cv:
+            self.dispatches += 1
+            self.lanes_served += lanes
+
+    def stats(self) -> Dict[str, int]:
+        with self._cv:
+            return {"dispatches": self.dispatches, "lanes_served": self.lanes_served}
+
     def _take_batch(self) -> list:
         """Pop up to ``batch`` requests, one per distinct session (FIFO)."""
         taken, seen = [], set()
@@ -342,13 +352,11 @@ class PipelineServer:
             "frames_per_chunk": self.chunk,
         }
         if self.batcher is not None:
-            with self.batcher._cv:
-                out["batching"] = {
-                    "batch": self.batch,
-                    "dp": self.dp,
-                    "dispatches": self.batcher.dispatches,
-                    "lanes_served": self.batcher.lanes_served,
-                }
+            out["batching"] = {
+                "batch": self.batch,
+                "dp": self.dp,
+                **self.batcher.stats(),
+            }
         return out
 
     def export_session(self, sid: str) -> Dict[str, np.ndarray]:
@@ -480,11 +488,9 @@ class PipelineServer:
                     )
                     self.sessions.move_to_end(req.sid)
                     req.lane, req.outs = i, outs
-                with self.batcher._cv:
-                    self.batcher.dispatches += 1  # device programs launched
-                    self.batcher.lanes_served += sum(
-                        1 for r, _ in live if not r.cancelled
-                    )
+                self.batcher.record_dispatch(
+                    sum(1 for r, _ in live if not r.cancelled)
+                )
             except Exception as e:  # noqa: BLE001 — surface to every waiter
                 for req, _ in live:
                     req.error = e

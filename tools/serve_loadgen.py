@@ -163,7 +163,7 @@ def main(argv=None) -> int:
         except Exception:  # noqa: BLE001 — cleanup is best-effort
             pass
 
-    lat = sorted(sum(latencies, []))
+    lat = sorted(t for per_session in latencies for t in per_session)
     total_frames = len(lat) * chunk_frames
     pct = lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2)  # noqa: E731
     result = {
