@@ -187,6 +187,15 @@ def test_aot_export_tpu_lowering_from_cpu_host():
     data = export_sequence_runner(cfg, 4, platforms=("tpu", "cpu"))
     assert isinstance(data, (bytes, bytearray)) and len(data) > 10_000
 
+    # The cross-host workflow composes with serving scale-out: a TPU-only
+    # artifact with the micro-batch lane axis sharded over 4 devices can be
+    # produced on this CPU host too (the mesh supplies logical device ids;
+    # the platform comes from `platforms`), and it pins the device count.
+    from jax import export as jexport
+
+    sharded = export_sequence_runner(cfg, 4, platforms=("tpu",), batch=4, dp=4)
+    assert jexport.deserialize(sharded).nr_devices == 4
+
 
 def test_aot_export_tpu_only_contains_fused_kernels(monkeypatch):
     """A TPU-only artifact exported from a CPU host must carry the Mosaic
