@@ -221,7 +221,9 @@ def check_scan() -> None:
 
     orig = pipeline.tracker_update_with_order
     pipeline.tracker_update_with_order = (
-        lambda t, d, c, mh: tracker_update_with_order(t, d, c, mh, backend="cpu")
+        lambda t, d, c, mh, backend=None: tracker_update_with_order(
+            t, d, c, mh, backend="cpu"
+        )
     )
     try:
         run_xla = make_sequence_runner(cfg, donate=False)
