@@ -18,6 +18,7 @@ streamlit is not installed)
 from __future__ import annotations
 
 import tempfile
+import time
 from pathlib import Path
 
 import numpy as np
@@ -51,6 +52,7 @@ def main():  # pragma: no cover - requires streamlit runtime
         st.session_state.db = TagDatabase("driving_tags.db")
         st.session_state.vlm = VLMTagger(DEFAULT_CONFIG.vlm)
         st.session_state.results = None
+        st.session_state.frame_idx = 0
 
     cfg = st.session_state.cfg
 
@@ -85,12 +87,28 @@ def main():  # pragma: no cover - requires streamlit runtime
                 tagger.finalize()
                 st.session_state.results = (frames, dets, outs, tagger, n)
                 st.session_state.vlm.reset()
+                st.session_state.frame_idx = 0
 
+        # Playback controls (reference app.py:504-519: Reset, Auto Play
+        # default-on, speed multiplier 0.5-3.0).  Autoplay here only
+        # advances the scrub index over precomputed results — the rerun
+        # loop is O(render), not O(pipeline) as in the reference.
+        st.header("Controls")
+        if st.button("Reset"):
+            st.session_state.frame_idx = 0
+            st.session_state.vlm.reset()
+        auto_play = st.checkbox("Auto Play", value=True)
+        playback_speed = st.slider("Speed", 0.5, 3.0, 1.0, 0.5)
+
+        # Database controls (reference app.py:522-533: save + stats).
+        st.header("Database")
         if st.session_state.results is not None:
             if st.button("Save tags to database"):
                 _, _, _, tagger, _ = st.session_state.results
                 count = st.session_state.db.save_all_tags(tagger)
                 st.success(f"Saved {count} frames to driving_tags.db")
+        if st.button("View statistics"):
+            st.json(st.session_state.db.get_tag_statistics())
 
     if st.session_state.results is None:
         st.info("Upload a video or use the synthetic scene, then press Process.")
@@ -100,7 +118,8 @@ def main():  # pragma: no cover - requires streamlit runtime
     bev = BEVRenderer(cfg.bev)
     overlay = OverlayRenderer()
 
-    frame_idx = st.slider("Frame", 0, n - 1, 0)
+    frame_idx = st.slider("Frame", 0, n - 1, min(st.session_state.frame_idx, n - 1))
+    st.session_state.frame_idx = frame_idx
     res = extract_frame(outs, dets, frame_idx)
 
     tab_live, tab_tags, tab_metrics = st.tabs(["Live View", "Auto-Tags", "Metrics & Search"])
@@ -169,6 +188,31 @@ def main():  # pragma: no cover - requires streamlit runtime
         if query:
             hits = tagger.search_by_tag(query.strip())
             st.write(f"{len(hits)} frames:", [h.frame_idx for h in hits][:50])
+
+        # VLM natural-language search (reference app.py:706-723): substring
+        # search over the captions the VLM tagger has produced so far (it
+        # tags lazily in the Auto-Tags tab, so coverage grows as you view
+        # frames with the VLM toggle on).
+        st.subheader("Natural language search (VLM)")
+        nl_query = st.text_input(
+            "Search by description",
+            placeholder="e.g. pedestrian crossing, dangerous situation, highway",
+        )
+        if nl_query:
+            vlm_hits = st.session_state.vlm.search_by_description(nl_query.strip())
+            st.write(f"{len(vlm_hits)} frames match `{nl_query}`")
+            for vt in vlm_hits[:10]:
+                st.write(
+                    f"Frame {vt.frame_idx} (t={vt.timestamp:.2f}s) — "
+                    f"{vt.scene_description} [risk: {vt.risk_level}]"
+                )
+
+    # Auto-advance (reference app.py:780-785): ~30 fps base cadence scaled
+    # by the speed multiplier, then rerun with the next frame selected.
+    if auto_play and frame_idx < n - 1:
+        time.sleep(0.033 / playback_speed)
+        st.session_state.frame_idx = frame_idx + 1
+        st.rerun()
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -157,6 +157,12 @@ class VLMConfig:
 
     model_name: str = "Salesforce/blip-image-captioning-base"
     device: str = ""  # "" = auto
+    # Replicated reference dead knob: vlm_tagger.py:102 stores this and
+    # never reads it ("use smaller model for speed" was never implemented
+    # upstream).  Kept stored-but-unread deliberately so the config surface
+    # matches the reference knob-for-knob; wiring it to a shorter
+    # generation would silently diverge caption outputs from the BLIP
+    # parity contract (tests/test_converter_numerics.py beam-3 decode).
     use_fast_mode: bool = True
     cache_interval: int = 10  # vlm_tagger.py:113
     max_new_tokens: int = 75

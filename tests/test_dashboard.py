@@ -39,11 +39,15 @@ class _SessionState(dict):
         self[k] = v
 
 
-def _make_stub(button_script):
-    """A streamlit stub; ``button_script`` maps button label -> bool."""
+def _make_stub(button_script, text_script=None, toggle_script=None):
+    """A streamlit stub; ``button_script`` maps button label -> bool,
+    ``text_script`` maps text_input label -> str, ``toggle_script`` maps
+    toggle label -> bool."""
     st = types.ModuleType("streamlit")
     st.session_state = _SessionState()
     st.calls = []
+    text_script = text_script or {}
+    toggle_script = toggle_script or {}
 
     def rec(name, ret=None):
         def f(*a, **k):
@@ -64,16 +68,22 @@ def _make_stub(button_script):
     st.metric = rec("metric")
     st.bar_chart = rec("bar_chart")
     st.line_chart = rec("line_chart")
+    st.rerun = rec("rerun")
     st.file_uploader = rec("file_uploader", None)
     st.checkbox = lambda label, value=False, **k: value
-    st.toggle = lambda label, value=False, **k: value
-    st.text_input = rec("text_input", "")
+    st.toggle = lambda label, value=False, **k: toggle_script.get(label, value)
     st.sidebar = _Ctx()
     st.spinner = lambda *a, **k: _Ctx()
 
+    def text_input(label, *a, **k):
+        st.calls.append(("text_input", (label,)))
+        return text_script.get(label, "")
+
+    st.text_input = text_input
+
     def slider(label, mn=0, mx=1, value=None, *a, **k):
         st.calls.append(("slider", (label,)))
-        return mn  # smallest workload / first frame
+        return mn  # smallest workload / first frame / slowest speed
 
     st.slider = slider
 
@@ -153,3 +163,47 @@ def test_dashboard_process_and_render(monkeypatch, tmp_path, small_cfg):
     ).fetchone()[0]
     con.close()
     assert n_frames == 30 and n_tag_rows == 30
+
+    # Run 4 (reference app.py:780-785): autoplay is on by default, so after
+    # rendering the dashboard advances the scrub index and requests a rerun.
+    st4 = _make_stub({})
+    st4.session_state = st.session_state
+    st4.session_state.frame_idx = 0
+    monkeypatch.setitem(sys.modules, "streamlit", st4)
+    dashboard.main()
+    assert any(c[0] == "rerun" for c in st4.calls)
+    assert st4.session_state.frame_idx == 1
+
+    # Run 5 (reference app.py:531-533): the DB stats button dumps
+    # get_tag_statistics() as JSON — the save in run 3 makes it non-empty.
+    st5 = _make_stub({"View statistics": True})
+    st5.session_state = st.session_state
+    monkeypatch.setitem(sys.modules, "streamlit", st5)
+    dashboard.main()
+    assert any(c[0] == "json" for c in st5.calls)
+
+
+def test_dashboard_vlm_and_nl_search(monkeypatch, tmp_path, small_cfg):
+    """VLM toggle produces captions (stub fallback offline) and the
+    natural-language search (reference app.py:706-723) finds them."""
+    from multimodal_autonomous_driving_perception_and_planning_tpu.apps import (
+        dashboard,
+    )
+
+    monkeypatch.chdir(tmp_path)
+
+    st = _make_stub({"Process": True}, toggle_script={"Use VLM captioner": True})
+    monkeypatch.setitem(sys.modules, "streamlit", st)
+    dashboard.main()
+    vlm = st.session_state.vlm
+    assert len(vlm.tag_history) >= 1  # the viewed frame was captioned
+
+    # Search for a word the stub backend always emits in its captions.
+    desc = vlm.tag_history[0].scene_description
+    word = next(w for w in desc.lower().split() if len(w) > 3)
+    st2 = _make_stub({}, text_script={"Search by description": word})
+    st2.session_state = st.session_state
+    monkeypatch.setitem(sys.modules, "streamlit", st2)
+    dashboard.main()
+    writes = [c for c in st2.calls if c[0] == "write"]
+    assert any("frames match" in str(a) for _, a in writes)
