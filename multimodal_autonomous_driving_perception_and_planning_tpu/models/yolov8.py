@@ -180,11 +180,17 @@ class DetectHead(nn.Module):
 
 
 class YOLOv8(nn.Module):
-    """Full detector; returns per-scale (box_logits, cls_logits)."""
+    """Full detector; returns per-scale (box_logits, cls_logits).
+
+    ``stop_after`` (debug/profiling only, tools/yolo_profile.py): truncate
+    the network after the named block and return that block's activation —
+    per-stage cost attribution runs each prefix as its own program.
+    """
 
     num_classes: int = 80
     variant: str = "n"
     dtype: Any = jnp.float32
+    stop_after: str = ""
 
     @nn.compact
     def __call__(self, x):
@@ -197,17 +203,29 @@ class YOLOv8(nn.Module):
         def nd(n):
             return max(1, round(n * depth))
 
+        stop = self.stop_after
+
         # Backbone.
         x = ConvBN(ch(64), 3, 2, dtype=self.dtype, name="b0")(x)  # P1/2
+        if stop == "b0":
+            return x
         x = ConvBN(ch(128), 3, 2, dtype=self.dtype, name="b1")(x)  # P2/4
         x = C2f(ch(128), nd(3), True, dtype=self.dtype, name="b2")(x)
+        if stop == "b2":
+            return x
         x = ConvBN(ch(256), 3, 2, dtype=self.dtype, name="b3")(x)  # P3/8
         p3 = C2f(ch(256), nd(6), True, dtype=self.dtype, name="b4")(x)
+        if stop == "b4":
+            return p3
         x = ConvBN(ch(512), 3, 2, dtype=self.dtype, name="b5")(p3)  # P4/16
         p4 = C2f(ch(512), nd(6), True, dtype=self.dtype, name="b6")(x)
+        if stop == "b6":
+            return p4
         x = ConvBN(ch(1024), 3, 2, dtype=self.dtype, name="b7")(p4)  # P5/32
         x = C2f(ch(1024), nd(3), True, dtype=self.dtype, name="b8")(x)
         p5 = SPPF(ch(1024), dtype=self.dtype, name="b9")(x)
+        if stop == "b9":
+            return p5
 
         # PAN neck.
         x = jnp.concatenate([_upsample2(p5), p4], axis=-1)
@@ -218,6 +236,8 @@ class YOLOv8(nn.Module):
         o4 = C2f(ch(512), nd(3), False, dtype=self.dtype, name="n18")(x)  # P4 out
         x = jnp.concatenate([ConvBN(ch(512), 3, 2, dtype=self.dtype, name="n19")(o4), p5], axis=-1)
         o5 = C2f(ch(1024), nd(3), False, dtype=self.dtype, name="n21")(x)  # P5 out
+        if stop == "neck":
+            return (o3, o4, o5)
 
         head_ch = (ch(256), ch(512), ch(1024))
         return DetectHead(self.num_classes, head_ch, dtype=self.dtype, name="head")([o3, o4, o5])

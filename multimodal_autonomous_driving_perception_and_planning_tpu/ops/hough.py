@@ -186,22 +186,29 @@ def hough_segments(
     # physical line comes out as several duplicate segments (burning
     # max_lines slots and double-counting in the scene classifier's
     # num_long_lines gate).
+    # Separable decomposition (bit-identical to the naive 24-neighbor
+    # sweep, ~3x fewer passes over the (T, R) accumulator — the NMS was
+    # the largest single Hough sub-stage at 31.9 us/frame, ANALYSIS §7a):
+    #   peak <=> acc == max(5x5 window)   [acc >= every neighbor]
+    #        &   acc >  max(earlier neighbors)   [no earlier tie]
+    # where "earlier" = rows i-2, i-1 (all 5 cols) + row i, cols j-2, j-1
+    # (row-major scan order).  The 5x5 window max is rowmax5(colmax5) and
+    # the earlier-max reuses the same colmax5 rows.  jnp.roll wraps at the
+    # theta/rho borders exactly like the neighbor sweep did.
     def shift2(a, di, dj):
         return jnp.roll(jnp.roll(a, di, axis=0), dj, axis=1)
 
-    neg = jnp.float32(-1.0)  # votes are >= 0, so -1 never wins a max
-    before_max = jnp.full_like(acc, neg)
-    after_max = jnp.full_like(acc, neg)
-    for oi in (-2, -1, 0, 1, 2):
-        for oj in (-2, -1, 0, 1, 2):
-            if oi == 0 and oj == 0:
-                continue
-            neighbor = shift2(acc, -oi, -oj)  # value at (i+oi, j+oj)
-            if oi < 0 or (oi == 0 and oj < 0):
-                before_max = jnp.maximum(before_max, neighbor)
-            else:
-                after_max = jnp.maximum(after_max, neighbor)
-    is_peak = (acc > before_max) & (acc >= after_max) & (acc >= vote_threshold)
+    colmax5 = acc
+    for dj in (-2, -1, 1, 2):  # max over cols j-2..j+2, incl. self
+        colmax5 = jnp.maximum(colmax5, shift2(acc, 0, -dj))
+    win_max = colmax5
+    for di in (-2, -1, 1, 2):  # then rows i-2..i+2
+        win_max = jnp.maximum(win_max, shift2(colmax5, -di, 0))
+    before_max = jnp.maximum(
+        jnp.maximum(shift2(colmax5, 1, 0), shift2(colmax5, 2, 0)),
+        jnp.maximum(shift2(acc, 0, 1), shift2(acc, 0, 2)),
+    )
+    is_peak = (acc == win_max) & (acc > before_max) & (acc >= vote_threshold)
 
     # Strongest max_lines peaks, without a top_k sort over the 288K-bin
     # accumulator: compact the (few) peaks into a small pool in scan order,

@@ -34,23 +34,77 @@ from ..ops.image import (
 from ..types import LaneObservation, LaneState
 
 
-def fit_lane_polynomial(
+def _solve3(g: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 solve by Cramer's rule/adjugate: g (..., 3, 3),
+    rhs (..., 3) -> (..., 3).  Fully vectorized, no LAPACK-style loops
+    for XLA to schedule.  Singular systems (no usable segments) return
+    zeros — matching lstsq's minimum-norm solution for the all-zero
+    Gram, so downstream where(found, ...) sees no NaNs."""
+    c00 = g[..., 1, 1] * g[..., 2, 2] - g[..., 1, 2] * g[..., 2, 1]
+    c01 = g[..., 1, 2] * g[..., 2, 0] - g[..., 1, 0] * g[..., 2, 2]
+    c02 = g[..., 1, 0] * g[..., 2, 1] - g[..., 1, 1] * g[..., 2, 0]
+    det = g[..., 0, 0] * c00 + g[..., 0, 1] * c01 + g[..., 0, 2] * c02
+    c10 = g[..., 0, 2] * g[..., 2, 1] - g[..., 0, 1] * g[..., 2, 2]
+    c11 = g[..., 0, 0] * g[..., 2, 2] - g[..., 0, 2] * g[..., 2, 0]
+    c12 = g[..., 0, 1] * g[..., 2, 0] - g[..., 0, 0] * g[..., 2, 1]
+    c20 = g[..., 0, 1] * g[..., 1, 2] - g[..., 0, 2] * g[..., 1, 1]
+    c21 = g[..., 0, 2] * g[..., 1, 0] - g[..., 0, 0] * g[..., 1, 2]
+    c22 = g[..., 0, 0] * g[..., 1, 1] - g[..., 0, 1] * g[..., 1, 0]
+    adj_rows = [
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ]
+    sol = jnp.stack(
+        [jnp.sum(row * rhs, axis=-1) for row in adj_rows], axis=-1
+    )
+    safe = jnp.abs(det) > 1e-20
+    sol = sol / jnp.where(safe, det, 1.0)[..., None]
+    return jnp.where(safe[..., None], sol, jnp.zeros_like(sol))
+
+
+def _fit_batched(
     xs: jnp.ndarray, ys: jnp.ndarray, wgt: jnp.ndarray, height: float
 ) -> jnp.ndarray:
-    """Weighted quadratic fit x = a y^2 + b y + c, returned as [a, b, c]
-    (np.polyfit coefficient order, lane_detector.py:156).
+    """Weighted quadratic fits x = a y^2 + b y + c over shared sample
+    points: xs/ys (P,), wgt (..., P) -> coeffs (..., 3) in np.polyfit
+    order (lane_detector.py:156).
 
     The fit runs in y/height-scaled coordinates for f32 conditioning (raw
-    y^4 sums overflow f32 precision) and is mapped back exactly.
+    y^4 sums overflow f32 precision) and is mapped back exactly.  Normal
+    equations + two steps of iterative refinement instead of
+    jnp.linalg.lstsq: the SVD behind lstsq costs ~63 us/frame on TPU v5e
+    for the (max_lines*samples, 3) system (ANALYSIS §7a) where the 3x3
+    Cramer solves plus skinny matvecs cost ~2 us.  In the u-scaled basis
+    the Gram matrix is well-conditioned; the refinement steps recover the
+    f32 digits squaring loses, and the result sits ~0.03 px from the
+    float64 solution (pixel-scale parity tolerances are 6/16 px,
+    test_reference_diff.py L1).
     """
     h = jnp.float32(height)
     u = ys / h
     A = jnp.stack([u * u, u, jnp.ones_like(u)], axis=-1)  # (P, 3)
     with jax.default_matmul_precision("float32"):
-        Aw = A * wgt[:, None]
-        coeffs, _, _, _ = jnp.linalg.lstsq(Aw, xs * wgt)
-    a, b, c = coeffs[0], coeffs[1], coeffs[2]
-    return jnp.stack([a / (h * h), b / h, c])
+        Aw = A * wgt[..., None]  # (..., P, 3)
+        bw = xs * wgt  # (..., P)
+        G = jnp.einsum("...pi,...pj->...ij", Aw, Aw)
+        r = jnp.einsum("...pi,...p->...i", Aw, bw)
+        coeffs = _solve3(G, r)
+        for _ in range(2):  # residual through the tall matrix each step
+            pred = jnp.einsum("...pi,...i->...p", Aw, coeffs)
+            resid = jnp.einsum("...pi,...p->...i", Aw, bw - pred)
+            coeffs = coeffs + _solve3(G, resid)
+    return coeffs / jnp.stack([h * h, h, jnp.float32(1.0)])
+
+
+def fit_lane_polynomial(
+    xs: jnp.ndarray, ys: jnp.ndarray, wgt: jnp.ndarray, height: float
+) -> jnp.ndarray:
+    """Weighted quadratic fit x = a y^2 + b y + c, returned as [a, b, c]
+    (np.polyfit coefficient order, lane_detector.py:156).  See
+    :func:`_fit_batched` for the method; this is the single-system form.
+    """
+    return _fit_batched(xs, ys, wgt, height)
 
 
 def _separate_and_fit(
@@ -84,17 +138,22 @@ def _separate_and_fit(
     sx = (x1[:, None] + (x2 - x1)[:, None] * t).reshape(-1)
     sy = (y1[:, None] + (y2 - y1)[:, None] * t).reshape(-1)
 
-    def fit_side(mask):
-        n = jnp.sum(mask.astype(jnp.int32))
-        w = jnp.broadcast_to(
-            mask[:, None], (mask.shape[0], fit_samples)
-        ).reshape(-1).astype(jnp.float32)
-        coeffs = fit_lane_polynomial(sx, sy, w, float(height))
-        found = n > 0
-        conf = jnp.minimum(1.0, n.astype(jnp.float32) / 10.0)
-        return coeffs, found, conf
-
-    return fit_side(left), fit_side(right)
+    # Both sides fit in ONE batched solve (leading axis 2): inside the
+    # per-frame scan this halves the count of tiny VPU ops vs two
+    # sequential fits — the same issue-latency effect the fused kernels
+    # target (ANALYSIS §3b).
+    masks = jnp.stack([left, right])  # (2, L)
+    n = jnp.sum(masks.astype(jnp.int32), axis=1)  # (2,)
+    w = jnp.repeat(
+        masks.astype(jnp.float32), fit_samples, axis=1
+    )  # (2, L*S), sample order matches sx/sy's reshape
+    coeffs = _fit_batched(sx, sy, w, float(height))  # (2, 3)
+    found = n > 0
+    conf = jnp.minimum(1.0, n.astype(jnp.float32) / 10.0)
+    return (
+        (coeffs[0], found[0], conf[0]),
+        (coeffs[1], found[1], conf[1]),
+    )
 
 
 def make_scene_features(cfg: PipelineConfig):

@@ -97,6 +97,12 @@ def main(argv=None) -> int:
     ap.add_argument("--chunks", type=int, default=4, help="chunks per session")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument(
+        "--warmup", type=int, default=1,
+        help="untimed chunks driven through a throwaway session first, so "
+        "the server-side program load (~35-75 s on the tunnel runtime, "
+        "ANALYSIS §5) lands outside the measured window; 0 disables",
+    )
     args = ap.parse_args(argv)
 
     health = _get(f"{args.url}/healthz")
@@ -122,6 +128,23 @@ def main(argv=None) -> int:
         ]
         for _ in range(args.sessions)
     ]
+    warmup_s = 0.0
+    if args.warmup > 0:
+        t0 = time.perf_counter()
+        wsid = json.loads(_post(f"{args.url}/session"))["session"]
+        for _ in range(args.warmup):
+            raw = _post(
+                f"{args.url}/infer?session={wsid}",
+                make_chunk(rng, chunk_frames, capacity, width, height),
+                timeout=args.timeout,
+            )
+            np.load(io.BytesIO(raw)).close()
+        req = urllib.request.Request(
+            f"{args.url}/session?session={wsid}", method="DELETE"
+        )
+        urllib.request.urlopen(req, timeout=30).close()
+        warmup_s = time.perf_counter() - t0
+
     sids = [
         json.loads(_post(f"{args.url}/session"))["session"]
         for _ in range(args.sessions)
@@ -178,6 +201,8 @@ def main(argv=None) -> int:
             {"p50": pct(0.5), "p99": pct(0.99)} if lat else None
         ),
         "errors": errors,
+        "warmup_chunks": args.warmup,
+        "warmup_seconds": round(warmup_s, 2),
         "server_metrics": _get(f"{args.url}/metrics"),
     }
     print(json.dumps(result))
