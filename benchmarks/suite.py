@@ -984,6 +984,12 @@ def main():
     parser.add_argument("--vlm", action="store_true",
                         help="include the BLIP captioning benchmark "
                              "(base-size model; adds a multi-minute compile)")
+    parser.add_argument("--only", default="",
+                        help="comma-separated bench names to run (e.g. "
+                             "'frames,multicamera_frames') — selective "
+                             "re-measurement after a targeted optimization; "
+                             "compare only against rows from the same day's "
+                             "floor (ANALYSIS §5)")
     args = parser.parse_args()
     repeats = 3 if args.quick else 10
 
@@ -1021,6 +1027,12 @@ def main():
     ]
     if args.vlm:
         benches.append(("blip", lambda: bench_blip(repeats)))
+    if args.only:
+        wanted = {w.strip() for w in args.only.split(",") if w.strip()}
+        unknown = wanted - {n for n, _ in benches}
+        if unknown:
+            raise SystemExit(f"unknown bench name(s): {sorted(unknown)}")
+        benches = [(n, f) for n, f in benches if n in wanted]
 
     # One crashing benchmark must not lose the rest of the run (TPU windows
     # on this tunnel runtime are scarce): record the failure as a JSON line
