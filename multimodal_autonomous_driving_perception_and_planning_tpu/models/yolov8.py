@@ -249,12 +249,22 @@ class YOLOv8(nn.Module):
 
 
 def decode_predictions(
-    outputs: List[Tuple[jnp.ndarray, jnp.ndarray]], img_size: int
+    outputs: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    img_size: int,
+    apply_sigmoid: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-scale head outputs -> flat (N, 4) xyxy boxes + (N, C) class probs.
+    """Per-scale head outputs -> flat (N, 4) xyxy boxes + (N, C) class probs
+    (or raw class logits with ``apply_sigmoid=False``).
 
     DFL: softmax over REG_MAX bins per side -> expected distance, scaled by
     stride around grid-center anchors.
+
+    The detect path passes ``apply_sigmoid=False`` and applies the sigmoid
+    only to the per-anchor max logit: sigmoid is strictly increasing, so
+    ``max(sigmoid(logits)) == sigmoid(max(logits))`` bitwise and the argmax
+    index is unchanged — skipping an (N, 80) elementwise pass + write
+    (8400 x 80 per frame) that the cost profile showed in the flopless
+    decode tail (ANALYSIS §7b).
     """
     all_boxes, all_cls = [], []
     bins = jnp.arange(REG_MAX, dtype=jnp.float32)
@@ -271,7 +281,8 @@ def decode_predictions(
         x2 = (ax + dist[..., 2]) * stride
         y2 = (ay + dist[..., 3]) * stride
         all_boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1))
-        all_cls.append(jax.nn.sigmoid(cls_logits.reshape(b, h * w, -1)))
+        cls = cls_logits.reshape(b, h * w, -1)
+        all_cls.append(jax.nn.sigmoid(cls) if apply_sigmoid else cls)
     return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_cls, axis=1)
 
 
@@ -339,10 +350,12 @@ def make_yolo_detector(
         padded, scale, (pad_x, pad_y) = letterbox(rgb, img_size)
         inp = (padded / 255.0)[None]
         outputs = model.apply(variables, inp)
-        boxes, cls_probs = decode_predictions(outputs, img_size)
-        boxes, cls_probs = boxes[0], cls_probs[0]
-        scores = jnp.max(cls_probs, axis=-1)
-        classes = jnp.argmax(cls_probs, axis=-1).astype(jnp.int32)
+        boxes, cls_logits = decode_predictions(outputs, img_size, apply_sigmoid=False)
+        boxes, cls_logits = boxes[0], cls_logits[0]
+        # max/argmax on logits, one sigmoid on the winner (bit-identical:
+        # sigmoid is strictly increasing — see decode_predictions).
+        scores = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
+        classes = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         res = nms(
             boxes,
             scores,
