@@ -304,3 +304,42 @@ def test_nms_matches_oracle_large_pool_beyond_kernel_cap():
     want_boxes = boxes[want]
     assert len(got_boxes) == len(want_boxes)
     np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-3)
+
+
+def test_stop_after_prefixes_match_full_network_intermediates():
+    """The profiling truncation knob (YOLOv8.stop_after, tools/
+    yolo_profile.py) must return exactly the activation the full network
+    computes at that point — otherwise per-stage timings attribute the
+    wrong program."""
+    import jax
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.models.yolov8 import (
+        YOLOv8,
+    )
+
+    full = YOLOv8(variant="n", dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 64, 64, 3), np.float32)
+    )
+    variables = full.init(jax.random.PRNGKey(0), x)
+    _, inter = full.apply(
+        variables, x, capture_intermediates=lambda mdl, name: True
+    )
+    inter = inter["intermediates"]
+
+    for block in ("b0", "b2", "b4", "b6", "b9"):
+        got = YOLOv8(variant="n", dtype=jnp.float32, stop_after=block).apply(
+            variables, x
+        )
+        want = inter[block]["__call__"][0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    o3, o4, o5 = YOLOv8(
+        variant="n", dtype=jnp.float32, stop_after="neck"
+    ).apply(variables, x)
+    np.testing.assert_array_equal(
+        np.asarray(o3), np.asarray(inter["n15"]["__call__"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o5), np.asarray(inter["n21"]["__call__"][0])
+    )
