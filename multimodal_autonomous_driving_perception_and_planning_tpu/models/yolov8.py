@@ -204,6 +204,10 @@ class YOLOv8(nn.Module):
             return max(1, round(n * depth))
 
         stop = self.stop_after
+        if stop and stop not in ("b0", "b2", "b4", "b6", "b9", "neck"):
+            # A typo'd stop point would silently run the full network and
+            # the profiler would attribute full-network cost to it.
+            raise ValueError(f"unknown stop_after={stop!r}")
 
         # Backbone.
         x = ConvBN(ch(64), 3, 2, dtype=self.dtype, name="b0")(x)  # P1/2

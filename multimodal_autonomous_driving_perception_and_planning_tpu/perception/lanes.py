@@ -70,21 +70,30 @@ def _fit_batched(
     points: xs/ys (P,), wgt (..., P) -> coeffs (..., 3) in np.polyfit
     order (lane_detector.py:156).
 
-    The fit runs in y/height-scaled coordinates for f32 conditioning (raw
-    y^4 sums overflow f32 precision) and is mapped back exactly.  Normal
-    equations + two steps of iterative refinement instead of
+    Normal equations + two steps of iterative refinement instead of
     jnp.linalg.lstsq: the SVD behind lstsq costs ~63 us/frame on TPU v5e
     for the (max_lines*samples, 3) system (ANALYSIS §7a) where the 3x3
-    Cramer solves plus skinny matvecs cost ~2 us.  In the u-scaled basis
-    the Gram matrix is well-conditioned; the refinement steps recover the
-    f32 digits squaring loses, and the result sits ~0.03 px from the
-    float64 solution (pixel-scale parity tolerances are 6/16 px,
-    test_reference_diff.py L1).
+    Cramer solves plus skinny matvecs cost ~2 us.
+
+    Conditioning: the basis is CENTERED AND SCALED per fit —
+    t = (y - weighted_mean(y)) / weighted_std(y) — so the Gram matrix is
+    well-conditioned by construction even when the support spans a narrow
+    y-band (a single 50 px Hough segment: a global y/h scaling leaves
+    cond(G) ~ 1/det at f32 and the Cramer solve returns garbage where
+    lstsq's truncated SVD stayed stable; with per-fit standardization the
+    same case solves to <0.1 px of float64).  The t-basis coefficients
+    map back to raw-y np.polyfit coefficients exactly.  Zero y-spread
+    (impossible for slope-filtered segments) degenerates to the singular
+    guard's zero solution, matching lstsq's no-data behavior.
     """
-    h = jnp.float32(height)
-    u = ys / h
-    A = jnp.stack([u * u, u, jnp.ones_like(u)], axis=-1)  # (P, 3)
+    del height  # basis is standardized per fit; kept for API compatibility
     with jax.default_matmul_precision("float32"):
+        n = jnp.maximum(jnp.sum(wgt, axis=-1), 1.0)  # (...,)
+        m = jnp.sum(wgt * ys, axis=-1) / n  # weighted mean of y
+        var = jnp.sum(wgt * (ys - m[..., None]) ** 2, axis=-1) / n
+        s = jnp.sqrt(jnp.maximum(var, 1e-12))  # weighted std of y
+        t = (ys - m[..., None]) / s[..., None]  # (..., P)
+        A = jnp.stack([t * t, t, jnp.ones_like(t)], axis=-1)  # (..., P, 3)
         Aw = A * wgt[..., None]  # (..., P, 3)
         bw = xs * wgt  # (..., P)
         G = jnp.einsum("...pi,...pj->...ij", Aw, Aw)
@@ -94,7 +103,12 @@ def _fit_batched(
             pred = jnp.einsum("...pi,...i->...p", Aw, coeffs)
             resid = jnp.einsum("...pi,...p->...i", Aw, bw - pred)
             coeffs = coeffs + _solve3(G, resid)
-    return coeffs / jnp.stack([h * h, h, jnp.float32(1.0)])
+        # x = at*t^2 + bt*t + ct with t=(y-m)/s  ->  a y^2 + b y + c.
+        at, bt, ct = coeffs[..., 0], coeffs[..., 1], coeffs[..., 2]
+        a = at / (s * s)
+        b = bt / s - 2.0 * at * m / (s * s)
+        c = at * m * m / (s * s) - bt * m / s + ct
+    return jnp.stack([a, b, c], axis=-1)
 
 
 def fit_lane_polynomial(

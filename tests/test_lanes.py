@@ -238,3 +238,39 @@ def test_lane_step_single_sided_lane():
         assert abs(got_x - want_x) < 10.0, (y, got_x, want_x)
     # The EMA carry holds only the left side.
     assert bool(state.left_valid) and not bool(state.right_valid)
+
+
+def test_single_short_segment_fit_is_stable():
+    """Regression (round-5 review): with the plain y/h-scaled basis, a
+    single 50 px segment (legal: hough_min_line_length=50) produced an
+    f32 Gram whose Cramer solve returned coefficients ~1e5 px off while
+    lstsq stayed stable.  The per-fit centered+scaled basis must track
+    the float64 least-squares solution inside the support band."""
+    import jax
+
+    from multimodal_autonomous_driving_perception_and_planning_tpu.perception.lanes import (
+        _separate_and_fit,
+    )
+
+    for seg in (
+        [100.0, 415.8, 147.4, 400.0],  # 50 px, slope -1/3 -> left
+        [100.0, 377.0, 242.0, 330.0],  # 150 px
+    ):
+        lines = np.zeros((64, 4), np.float32)
+        valid = np.zeros(64, bool)
+        lines[0] = seg
+        valid[0] = True
+        (lf, lok, _), _ = jax.jit(
+            lambda l, v: _separate_and_fit(l, v, 640, 480)
+        )(jnp.asarray(lines), jnp.asarray(valid))
+        assert bool(lok)
+
+        t = np.linspace(0, 1, 8)
+        sx = (seg[0] + (seg[2] - seg[0]) * t).astype(np.float64)
+        sy = (seg[1] + (seg[3] - seg[1]) * t).astype(np.float64)
+        A = np.stack([sy * sy, sy, np.ones_like(sy)], -1)
+        ref, _, _, _ = np.linalg.lstsq(A, sx, rcond=None)
+        for yv in (sy.min(), sy.mean(), sy.max()):
+            got = float(lf[0]) * yv * yv + float(lf[1]) * yv + float(lf[2])
+            want = ref[0] * yv * yv + ref[1] * yv + ref[2]
+            assert abs(got - want) < 0.1, (seg, yv, got, want)

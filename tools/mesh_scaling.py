@@ -72,16 +72,33 @@ def _flops(compiled) -> float:
     return float(ca.get("flops", float("nan")))
 
 
-def _time_best(fn, args, reps: int) -> float:
-    import jax
+def _time_best(fn, args, reps: int, nonce_leaf) -> float:
+    """Best-of-N wall time of fn(*args) with a fresh nonce folded into one
+    input leaf each rep and timing to a float() readback of an output
+    digest — identical-args + block_until_ready timing can be served from
+    a cache / resolve early on some runtimes (CLAUDE.md rule 2).
 
-    out = fn(*args)  # warmup/compile
-    jax.block_until_ready(out)
+    ``nonce_leaf``: callable(args, nonce) -> new args with the nonce added
+    to a float input leaf (zero-preserving at nonce=0 is not required —
+    the perturbation is ~1e-7 on real-scale inputs, timing-neutral).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def digest(out):
+        leaves = [
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(out)
+            if hasattr(x, "dtype")
+        ]
+        return float(sum(float(v) for v in leaves[:4]))
+
+    digest(fn(*nonce_leaf(args, 0.0)))  # warmup/compile
     best = float("inf")
-    for _ in range(max(1, reps)):
+    for i in range(max(1, reps)):
+        a = nonce_leaf(args, 1e-7 * (i + 1))
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        digest(fn(*a))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -130,15 +147,17 @@ def collect_rows(frames: int = 64, reps: int = 3, devices=(1, 2, 4, 8)):
         "valid": rep_c(dets["valid"]),
         "ego_measurement": rep_c(ego),
     }
-    base_flops = {}
+    def nonce_ego(a, nonce):
+        s, i = a
+        i = dict(i)
+        i["ego_measurement"] = np.asarray(i["ego_measurement"]) + np.float32(nonce)
+        return (s, i)
+
     for d in devices:
         mesh = make_camera_mesh(d)
         runner = make_multicamera_runner(cfg, mesh)
         states = stack_states(cfg, cams)
-        # The runner is jitted inside make_multicamera_runner; re-jit the
-        # call for lower/compile access (same program, shardings applied
-        # by the mesh closure).
-        wall = _time_best(runner, (states, inputs), reps)
+        wall = _time_best(runner, (states, inputs), reps, nonce_ego)
         try:
             flops = _flops(runner.lower(states, inputs).compile())
         except Exception:
@@ -168,7 +187,7 @@ def collect_rows(frames: int = 64, reps: int = 3, devices=(1, 2, 4, 8)):
                 lambda l: shard_for(l), (state_b, inputs_b)
             ),
         )
-        wall = _time_best(sharded, (state_b, inputs_b), reps)
+        wall = _time_best(sharded, (state_b, inputs_b), reps, nonce_ego)
         try:
             flops = _flops(sharded.lower(state_b, inputs_b).compile())
         except Exception:
@@ -178,8 +197,19 @@ def collect_rows(frames: int = 64, reps: int = 3, devices=(1, 2, 4, 8)):
                  wall_ms=round(wall * 1e3, 2), flops_per_device=flops)
         )
 
-    # --- scaling verdicts -------------------------------------------------
-    for mode in ("multicam8", "serve_dp"):
+    return apply_verdicts(rows)
+
+
+def apply_verdicts(rows):
+    """Annotate rows in place with flops_ratio_vs_d1 + the regression flag.
+
+    One function used by both the tool and its tests (so changing the
+    threshold cannot silently strand the test on a stale copy).  Rules:
+    per-device flops must land within 25% of the ideal 1/D share of the
+    D=1 program; unavailable cost analysis (NaN flops) is itself a
+    FAILURE — a missing measurement must never read as a clean artifact.
+    """
+    for mode in sorted({r["mode"] for r in rows}):
         sub = [r for r in rows if r["mode"] == mode]
         base = next(r for r in sub if r["devices"] == 1)
         base_flops = base["flops_per_device"]
@@ -190,10 +220,15 @@ def collect_rows(frames: int = 64, reps: int = 3, devices=(1, 2, 4, 8)):
                 if base_flops == base_flops and base_flops > 0
                 else float("nan")
             )
-            r["flops_ratio_vs_d1"] = round(ratio, 4) if ratio == ratio else None
-            # >25% above the ideal 1/D per-device share = the sharding is
-            # not partitioning the work (replication / gathered batch).
-            r["regression"] = bool(ratio == ratio and ratio > ideal * 1.25)
+            if ratio != ratio:  # NaN: cost analysis unavailable
+                r["flops_ratio_vs_d1"] = None
+                r["regression"] = True
+                r["error"] = "cost_analysis_unavailable"
+            else:
+                r["flops_ratio_vs_d1"] = round(ratio, 4)
+                # >25% above the ideal 1/D per-device share = the sharding
+                # is not partitioning the work (replication/gathered batch).
+                r["regression"] = bool(ratio > ideal * 1.25)
     return rows
 
 

@@ -76,13 +76,18 @@ def main() -> int:
         except Exception:
             return float("nan"), float("nan")
 
-    def time_fn(name, fn, x, flops=None, byts=None):
-        """fn: (x, eps) -> pytree; chained reps on a digest."""
-        def bench(nonce, x):
+    def time_fn(name, fn, variables, x, flops=None, byts=None):
+        """fn: (variables, x) -> pytree; chained reps on a digest.
+
+        ``variables`` rides as an explicit jit ARGUMENT — a closed-over
+        device pytree becomes a per-call transferred constant on the
+        tunnel runtime and inflates every timing (CLAUDE.md rule 1;
+        suite.py's bench_yolo does the same)."""
+        def bench(nonce, variables, x):
             def one_rep(carry, _):
                 digest_in, _ = carry
                 eps = (nonce + digest_in) * 1e-30
-                out = fn(x + eps)
+                out = fn(variables, x + eps)
                 return (digest_in + suite._tree_digest(out), 0), None
 
             (digest, _), _ = jax.lax.scan(
@@ -91,7 +96,7 @@ def main() -> int:
             return digest
 
         f = jax.jit(bench)
-        best, p50 = suite._time_digest(f, x, repeats=args.repeats)
+        best, p50 = suite._time_digest(f, variables, x, repeats=args.repeats)
         net = max(best - floor, 1e-9) / args.reps
         rec = {
             "stage": name,
@@ -123,11 +128,11 @@ def main() -> int:
         )
         variables = model.init(jax.random.PRNGKey(0), frames[:1])
 
-        def apply_fn(x, model=model, variables=variables):
+        def apply_fn(variables, x, model=model):
             return model.apply(variables, x)
 
-        fl, by = cost(apply_fn, frames)
-        cum[p] = time_fn(f"prefix_{p}", apply_fn, frames, fl, by)
+        fl, by = cost(apply_fn, variables, frames)
+        cum[p] = time_fn(f"prefix_{p}", apply_fn, variables, frames, fl, by)
 
     prev = 0.0
     for p in prefixes:
@@ -143,20 +148,23 @@ def main() -> int:
         )
         prev = cum[p]
 
-    # --- decode + NMS tail -------------------------------------------------
+    # --- decode + NMS tail (the PRODUCTION path: apply_sigmoid=False and
+    # one sigmoid on the per-anchor max logit, mirroring make_yolo_detector
+    # — profiling the superseded sigmoid-everything decode would
+    # mis-attribute tail cost) -----------------------------------------------
     model = YOLOv8(variant=args.variant, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), frames[:1])
-    outputs = jax.jit(lambda x: model.apply(variables, x))(frames)
+    outputs = jax.jit(lambda v, x: model.apply(v, x))(variables, frames)
     outputs = jax.block_until_ready(outputs)
 
     def decode_fn(outs):
-        boxes, cls = decode_predictions(outs, S)
+        boxes, cls = decode_predictions(outs, S, apply_sigmoid=False)
         return boxes, cls
 
     def tail_fn(outs):
-        boxes, cls = decode_predictions(outs, S)
-        scores = jnp.max(cls, axis=-1)
-        classes = jnp.argmax(cls, axis=-1).astype(jnp.int32)
+        boxes, cls_logits = decode_predictions(outs, S, apply_sigmoid=False)
+        scores = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
+        classes = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         return jax.vmap(
             lambda b, s, c: nms(
                 b, s, c, iou_threshold=0.45, score_threshold=0.25,
