@@ -68,10 +68,24 @@ def compact_mask(flat: jnp.ndarray, capacity: int):
 
     k = jnp.arange(capacity, dtype=jnp.int32)
     # Block containing the k-th set bit: number of blocks fully before it.
-    blk = jnp.sum((offs[None, :] <= k[:, None]).astype(jnp.int32), axis=1) - 1
+    lower = offs[None, :] <= k[:, None]  # (capacity, nb)
+    blk = jnp.sum(lower.astype(jnp.int32), axis=1) - 1
     blk = jnp.maximum(blk, 0)
     r = k - offs[blk]  # rank within block
-    rows = blocks[blk]  # (capacity, B) row gather
+    # Row gather as an interval one-hot MXU matmul: block b holds the k-th
+    # set bit iff offs[b] <= k < offs[b] + counts[b], which is one-hot per
+    # k < total (and all-false past the end, where ``valid`` masks the
+    # output anyway).  A dynamic (capacity, B) row gather measured
+    # ~15 us/frame at the lane call site — 2/3 of the whole compaction —
+    # while this (capacity, nb) x (nb, B) bf16 matmul is exact for 0/1
+    # block rows and runs on the MXU (ANALYSIS section 7d).
+    inblk = lower & (k[:, None] < (offs + counts)[None, :])
+    rows = jnp.einsum(
+        "kb,bc->kc",
+        inblk.astype(jnp.bfloat16),
+        blocks.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     # In-row inclusive prefix sum as a matmul with upper-triangular ones:
     # a lane-axis cumsum lowers to a serial in-lane scan (~245 us/frame at
     # this size); one (capacity, B) x (B, B) bf16 MXU pass is exact for
