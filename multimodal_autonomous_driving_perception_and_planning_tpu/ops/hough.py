@@ -71,14 +71,16 @@ def compact_mask(flat: jnp.ndarray, capacity: int):
     lower = offs[None, :] <= k[:, None]  # (capacity, nb)
     blk = jnp.sum(lower.astype(jnp.int32), axis=1) - 1
     blk = jnp.maximum(blk, 0)
-    r = k - offs[blk]  # rank within block
-    # Row gather as an interval one-hot MXU matmul: block b holds the k-th
-    # set bit iff offs[b] <= k < offs[b] + counts[b], which is one-hot per
-    # k < total (and all-false past the end, where ``valid`` masks the
-    # output anyway).  A dynamic (capacity, B) row gather measured
-    # ~15 us/frame at the lane call site — 2/3 of the whole compaction —
-    # while this (capacity, nb) x (nb, B) bf16 matmul is exact for 0/1
-    # block rows and runs on the MXU (ANALYSIS section 7d).
+    # Gather-free block lookup: block b holds the k-th set bit iff
+    # offs[b] <= k < offs[b] + counts[b], which is one-hot per k < total
+    # (and all-false past the end, where ``valid`` masks the output
+    # anyway).  Both dynamic gathers this replaces — the (capacity, B)
+    # row gather blocks[blk] AND the scalar gather offs[blk] — measured
+    # as one fused ~9 us/frame serial pass at the lane call site
+    # regardless of which one remained (ANALYSIS section 7d), so the row
+    # lookup is a (capacity, nb) x (nb, B) bf16 matmul (exact for 0/1
+    # block rows) and the rank base is an f32 matvec (offs < 2^24, so
+    # f32 accumulation is exact).
     inblk = lower & (k[:, None] < (offs + counts)[None, :])
     rows = jnp.einsum(
         "kb,bc->kc",
@@ -86,6 +88,9 @@ def compact_mask(flat: jnp.ndarray, capacity: int):
         blocks.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
+    r = k - jnp.einsum(
+        "kb,b->k", inblk.astype(jnp.float32), offs.astype(jnp.float32)
+    ).astype(jnp.int32)  # rank within block
     # In-row inclusive prefix sum as a matmul with upper-triangular ones:
     # a lane-axis cumsum lowers to a serial in-lane scan (~245 us/frame at
     # this size); one (capacity, B) x (B, B) bf16 MXU pass is exact for

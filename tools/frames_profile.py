@@ -37,6 +37,12 @@ def main() -> int:
         "--reps-scale", type=float, default=1.0,
         help="scale every stage's inner rep count (CPU smoke: 0.01)",
     )
+    parser.add_argument(
+        "--only", type=str, default="",
+        help="comma-separated stage names to run (default: all); each "
+        "skipped stage still avoids its compile, so a targeted re-measure "
+        "fits inside one tunnel window",
+    )
     args = parser.parse_args()
 
     from multimodal_autonomous_driving_perception_and_planning_tpu.utils.platform import (
@@ -128,8 +134,12 @@ def main() -> int:
         # u8 content is bit-identical across reps.
         return img + eps.astype(img.dtype)
 
+    only = {s.strip() for s in args.only.split(",") if s.strip()}
+
     def time_stage(name, keys, stage_fn, reps, extra=None):
         """stage_fn(xs: dict of per-frame inputs, eps) -> pytree output."""
+        if only and name not in only:
+            return 0.0
         reps = max(1, int(reps * args.reps_scale))
         sub = {k: stacks[k] for k in keys}
 
